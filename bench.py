@@ -1,0 +1,68 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with the no-op sink (full pipeline
+runs — scan, shuffle, aggregate — without driver-side collect overhead
+distorting the number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from udacity_datalake_spark_spark.plans import QUERIES
+from udacity_datalake_spark_spark.session import get_session
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q05_inner_join",
+    "q06_left_join_agg",
+    "q07_or_join_decomposed",
+    "q10_multi_hop_join",
+    "q11_groupby_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_session(app_name="udacity-datalake-spark-bench")
+    # warm up the JVM + parquet footer caches outside the timed region
+    QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

