@@ -16,9 +16,10 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from udacity_datalake_spark_spark.schemas import TABLE_NAMES
+from udacity_datalake_spark_spark.schemas import TABLE_NAMES, TESTDATA_SCHEMAS
 
 
 def read_table(
@@ -28,8 +29,26 @@ def read_table(
     columns: Sequence[str] | None = None,
 ) -> DataFrame:
     """Read one testdata table; optional projection so column pruning
-    reaches the parquet scan even when callers forget to select."""
+    reaches the parquet scan even when callers forget to select.
+
+    Nanosecond-precision parquet timestamps (events.ts) are illegal for
+    Spark's vectorized reader; read them as raw INT64 nanos
+    (``nanosAsLong``, a runtime SQL conf — set defensively so the driver's
+    own session works too) and truncate to microsecond TimestampType,
+    matching DuckDB's nanos→micros view of the same file.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    expected = TESTDATA_SCHEMAS.get(name)
+    if expected is not None:
+        for field in expected.fields:
+            actual = df.schema[field.name].dataType if field.name in df.columns else None
+            if isinstance(field.dataType, T.TimestampType) and isinstance(actual, T.LongType):
+                # integer division — float division of int64 nanos would
+                # lose precision (2^63 ≫ 2^53 double mantissa)
+                df = df.withColumn(
+                    field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+                )
     if columns is not None:
         df = df.select(*columns)
     return df
