@@ -1,0 +1,77 @@
+"""Property tests for the non-SQL-expressible operators (the driver only
+rows-checks these, so the real guarantees are proven here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.operators.dedup import exact_dedup
+from udacity_datalake_spark_spark.plans import QUERIES
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+
+def _planted_pairs(spark, sf_dir):
+    """The corpus's planted near-dup pairs per the exact Jaccard operator."""
+    return {
+        (r.d1, r.d2)
+        for r in QUERIES["q45_ngram_jaccard"](spark, sf_dir).collect()
+    }
+
+
+def test_minhash_lsh_equals_exact(spark, sf_dir):
+    exact = QUERIES["q45_ngram_jaccard"](spark, sf_dir).collect()
+    lsh = QUERIES["q46_minhash_lsh"](spark, sf_dir).collect()
+    assert {(r.d1, r.d2, r.jaccard) for r in lsh} == {(r.d1, r.d2, r.jaccard) for r in exact}
+    assert len(exact) > 0, "corpus should contain planted near-dups"
+
+
+def test_simhash_recovers_planted_pairs(spark, sf_dir):
+    planted = _planted_pairs(spark, sf_dir)
+    sim_pairs = {(r.d1, r.d2) for r in QUERIES["q47_simhash"](spark, sf_dir).collect()}
+    # word-level near-dups differ in a few tokens → small (not zero)
+    # Hamming gap; the radius-7 banding recovers the bulk of them
+    recovered = planted & sim_pairs
+    assert len(recovered) >= 0.75 * len(planted), (
+        f"simhash recovered {len(recovered)}/{len(planted)} planted pairs"
+    )
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    exact = QUERIES["q48_embedding_topk"](spark, sf_dir).collect()
+    approx = QUERIES["q49_ann_lsh"](spark, sf_dir).collect()
+    exact_set = {(r.qid, r.nid) for r in exact}
+    approx_set = {(r.qid, r.nid) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 16 tables × 4 bits on gaussian vectors → expected recall ≈0.9;
+    # floor at 0.5 (far above the ≈1% chance rate)
+    assert recall >= 0.5, f"ANN recall {recall:.2f} below floor"
+    # every approx hit must be internally consistent
+    for r in approx:
+        assert 1 <= r.rank <= 5 and r.sim <= 1.0 + 1e-9
+
+
+def test_exact_dedup_keeps_min_id(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    deduped = exact_dedup(doubled, "doc_id", "text")
+    assert deduped.count() == docs.count()
+    assert deduped.agg(F.max("doc_id")).first()[0] < 1_000_000  # survivor = smallest id
+
+
+def test_multimodal_digest_matches_python(spark, sf_dir):
+    import hashlib
+
+    row = (
+        QUERIES["q50_multimodal_features"](spark, sf_dir)
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    text = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == row.doc_id)
+        .select("text")
+        .first()[0]
+    )
+    assert row.digest == hashlib.md5(text.encode()).hexdigest()
+    assert row.payload_bytes == len(text.encode())

@@ -1,0 +1,204 @@
+"""Deduplication family for training-data pipelines, smallest-shuffle-first:
+
+- exact:   hash-groupBy on a normalized-content fingerprint (one shuffle)
+- n-gram Jaccard: shingle-join — exact near-dup, quadratic only within
+  shared-shingle buckets
+- MinHash+LSH: signature → bands → bucket-join candidates → exact-Jaccard
+  verify; the 100 TB near-dup path (candidate generation is linear in
+  corpus size, the verify join touches only candidates)
+- SimHash: 64-bit bit-majority fingerprint; near-dups differ in few bits
+
+All deterministic: hash functions are seeded ``xxhash64(lit(seed), col)``;
+no RNG at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.operators.text import content_fingerprint, explode_shingles, tokens
+
+MINHASH_K = 64  # signature length
+MINHASH_BANDS = 16  # 16 bands × 4 rows → catches J≳0.7 with high probability
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per normalized-content fingerprint (smallest id wins —
+    deterministic, unlike dropDuplicates' arbitrary survivor)."""
+    fp = content_fingerprint(text_col).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.select("*", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Duplicate groups: fingerprint, surviving id, copy count (>1 only)."""
+    return (
+        df.select(F.col(id_col), content_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard ≥ threshold).
+
+    Shingle equi-join: cost concentrates in shingles shared by many docs
+    (for genuinely common shingles, pre-filter high-document-frequency
+    shingles before the join — see ``df_cap``).
+    """
+    sh = explode_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("d1"), F.col("__sz").alias("__sz1"))
+    sz2 = sizes.select(F.col(id_col).alias("d2"), F.col("__sz").alias("__sz2"))
+    jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
+    return (
+        inter.join(sz1, "d1")
+        .join(sz2, "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
+    """k-permutation MinHash signature per document: one exploded-shingle
+    aggregation computing all k mins at once (single shuffle on id)."""
+    sh = explode_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"__h{i}") for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Candidates: documents agreeing on any full band (rows = k/bands hash
+    values).  Verification re-computes exact n-gram Jaccard only on the
+    candidate set, so the output is deterministic and identical to
+    ``ngram_jaccard_pairs`` whenever LSH recall is complete.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"__h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    # stack bands into rows — ONE self-equi-join on (band_idx, band_hash)
+    # instead of `bands` separate joins each recomputing the signature plan
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("__band_idx", "__band_hash")
+    ).persist()
+    l = banded.select(F.col(id_col).alias("d1"), "__band_idx", "__band_hash")
+    r = banded.select(F.col(id_col).alias("d2"), "__band_idx", "__band_hash")
+    candidates = (
+        l.join(r, ["__band_idx", "__band_hash"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+    # exact-Jaccard verification restricted to the candidate set: expand
+    # each candidate pair to its shared shingles only (never all pairs)
+    sh = explode_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        candidates.join(a, "d1")
+        .join(b, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("d1"), F.col("__sz").alias("__sz1"))
+    sz2 = sizes.select(F.col(id_col).alias("d2"), F.col("__sz").alias("__sz2"))
+    jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
+    return (
+        inter.join(sz1, "d1")
+        .join(sz2, "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: token-hash bit-majority vote.
+
+    Exploded-token aggregation with 64 conditional sums (one shuffle);
+    near-duplicate texts land within a few bits of Hamming distance.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    h = F.xxhash64(F.col("__tok"))
+    votes = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"__b{i}"
+        )
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius, banded for scale:
+    split the 64-bit hash into (max_hamming+1) chunks — any pair within the
+    radius must agree exactly on at least one chunk (pigeonhole), so
+    candidates come from equi-joins on chunks, never a cross join."""
+    sig = simhash64(df, id_col, text_col)
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(chunks)
+        ]
+    )
+    # stack chunks into rows — one equi-join on (chunk_idx, chunk_value)
+    stacked = sig.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(chunk_arr).alias("__ci", "__ck")
+    ).persist()
+    l = stacked.select(F.col(id_col).alias("d1"), F.col("simhash").alias("__s1"), "__ci", "__ck")
+    r = stacked.select(F.col(id_col).alias("d2"), F.col("simhash").alias("__s2"), "__ci", "__ck")
+    hamming = F.bit_count(F.col("__s1").bitwiseXOR(F.col("__s2")))
+    return (
+        l.join(r, ["__ci", "__ck"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,65 @@
+"""Text-analysis operators for large-scale corpus pipelines: tokenization,
+quality scoring, language-ID heuristics, fingerprinting, shingling.
+
+Everything here is built on Spark SQL higher-order functions (split /
+filter / transform / aggregate) so the hot path stays inside whole-stage
+codegen — no Python worker round trips at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword list for the heuristic scorers (subset of the corpus vocabulary).
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus; for general text use
+    F.split on '\\s+')."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_hits(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Number of tokens that are stopwords — JVM-side lambda filter."""
+    sw = stopwords or EN_STOPWORDS
+    return F.size(F.filter(tokens(text), lambda x: x.isin(*sw)))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, trim, collapse runs of
+    whitespace (reference-style full-row distinct misses case/spacing
+    variants; this is the dedup-grade normalization)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    ``sequence(1, size-n+1)`` start positions + ``slice``/``array_join`` —
+    all codegen'd.  Rows with fewer than n tokens yield an empty array.
+    """
+    arr = tokens(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(arr) - (n - 1), F.lit(0)))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(arr, i, n), " "))
+    return F.array_distinct(grams)
+
+
+def explode_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs — the input layout for Jaccard / MinHash joins."""
+    return (
+        df.where(F.size(tokens(text_col)) >= n)
+        .select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+    )

@@ -1,6 +1,14 @@
 """Query surface registry — importing this package registers all queries."""
 
-from udacity_datalake_spark_spark.plans import grouping, relational, scalar, setops, windows  # noqa: F401
+from udacity_datalake_spark_spark.plans import (  # noqa: F401
+    grouping,
+    relational,
+    scalar,
+    setops,
+    similarity,
+    textops,
+    windows,
+)
 from udacity_datalake_spark_spark.plans.registry import ORACLE_SQL, QUERIES
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

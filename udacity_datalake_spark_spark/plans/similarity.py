@@ -1,0 +1,123 @@
+"""Similarity-search + multimodal + pandas-UDF query surface
+(SURVEY.md §7-M3: embeddings table, documents payloads)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from udacity_datalake_spark_spark.operators.multimodal import (
+    extract_payload_features,
+    with_binary_payload,
+)
+from udacity_datalake_spark_spark.operators.similarity import cosine_topk, hyperplane_lsh_topk
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+# Double-precision cosine identical to the Spark implementation: cast each
+# float32 element to double, accumulate in index order, one double divide,
+# round(6) BEFORE ranking with an id tie-break.
+_COSINE_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.qid, e.vec_id AS nid,
+               round(
+                 list_sum(list_transform(range(1, len(q.qv) + 1),
+                          i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+               , 6) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.qid
+    ),
+    ranked AS (SELECT qid, nid, sim,
+                      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+               FROM scored)
+    SELECT qid, nid, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("q48_embedding_topk", oracle=_COSINE_TOPK_ORACLE)
+def q48_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 5 query vectors: broadcast
+    query side, one corpus scan, codegen'd zip_with/aggregate dot products
+    (no UDF), deterministic rounded-score ranking."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=5)
+
+
+@query("q49_ann_lsh")  # approximate by design → rows-only; recall tested vs q48
+def q49_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (16 tables × 4 bits,
+    fixed seed): candidates from bucket equi-joins only, exact cosine
+    re-rank on candidates.  Few bits per table because these gaussian
+    embeddings have weak neighbors (cos≈0.4 → per-bit agreement ≈0.6);
+    clustered production embeddings would take 8-16 bits per table and
+    proportionally smaller candidate sets.  No SQL oracle (approximate);
+    tests bound recall against the exact q48."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return hyperplane_lsh_topk(emb, queries, k=5, n_tables=16, bits_per_table=4)
+
+
+@query(
+    "q50_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: attach binary payload + metadata
+    struct, then feature-extract with Arrow-batched mapInPandas.  The
+    oracle recomputes the byte length and MD5 digest in SQL — proving the
+    binary column and the pandas batch path carry bytes faithfully."""
+    d = read_table(spark, sf_dir, "documents")
+    return extract_payload_features(with_binary_payload(d), id_col="doc_id")
+
+
+@query(
+    "q51_grouped_pandas",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_chars) AS sum_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q51_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-source stats computed in pandas —
+    the escape hatch for aggregation logic built-ins can't express
+    (here simple sums so the SQL oracle can verify the plumbing).
+    Grouping key rides Arrow batches; one shuffle on source."""
+    d = read_table(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("sum_chars", T.LongType()),
+            T.StructField("max_chars", T.LongType()),
+        ]
+    )
+
+    def stats(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "sum_chars": [int(pdf["n_chars"].sum())],
+                "max_chars": [int(pdf["n_chars"].max())],
+            }
+        )
+
+    return d.select("source", "n_chars").groupBy("source").applyInPandas(stats, schema)
