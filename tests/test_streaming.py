@@ -1,0 +1,128 @@
+"""Streaming ≡ batch equivalence: replay the events table as a bounded
+file stream (availableNow) and assert the windowed aggregations match the
+batch results the DuckDB oracle already verified."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.streaming.windows import (
+    read_parquet_stream,
+    run_available_now,
+    session_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Materialize events as a multi-file parquet directory (the stream
+    source shape) — keeps the nanos→micros conversion from read_table."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    read_table(spark, sf_dir, "events").repartition(4).write.parquet(path)
+    return path
+
+
+def _batch_schema(spark, events_dir):
+    return spark.read.parquet(events_dir).schema
+
+
+def _as_sorted_rows(df, cols):
+    return sorted(tuple(str(x) for x in r) for r in df.select(*cols).collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, events_dir):
+    schema = _batch_schema(spark, events_dir)
+    stream = read_parquet_stream(spark, events_dir, schema, max_files_per_trigger=1)
+    streamed = run_available_now(tumbling_window_agg(stream), "t_tumbling")
+    batch = tumbling_window_agg(spark.read.parquet(events_dir))
+    cols = ["window_start", "window_end", "event_type", "n", "sum_value"]
+    assert _as_sorted_rows(streamed, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_streaming_session_equals_batch(spark, events_dir):
+    # single micro-batch: with per-file triggers the unsorted files would
+    # make the watermark drop genuinely-late rows (correct streaming
+    # semantics, proven separately in test_watermark_drops_late_rows)
+    schema = _batch_schema(spark, events_dir)
+    stream = read_parquet_stream(spark, events_dir, schema)
+    streamed = run_available_now(session_window_agg(stream), "t_session")
+    batch = session_window_agg(spark.read.parquet(events_dir))
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    assert _as_sorted_rows(streamed, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_streaming_dedup_bounded_state(spark, events_dir):
+    schema = _batch_schema(spark, events_dir)
+    stream = read_parquet_stream(spark, events_dir, schema)
+    deduped = run_available_now(
+        stream_dedup(stream, ["user_id", "event_type"]), "t_dedup", output_mode="append"
+    )
+    # one survivor per key; all keys present
+    batch_keys = (
+        spark.read.parquet(events_dir).select("user_id", "event_type").distinct().count()
+    )
+    counts = deduped.groupBy("user_id", "event_type").count()
+    assert counts.where(F.col("count") > 1).count() == 0
+    assert counts.count() == batch_keys
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: a row older than (max event time - watermark)
+    arriving in a later micro-batch is dropped from its window."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+    schema = "ts timestamp, user_id long, event_type string, value double"
+
+    def write_file(name, rows, mtime):
+        before = set(os.listdir(d)) if os.listdir(d) else set()
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id", "event_type", "value"])
+        sub = spark.createDataFrame(pdf, schema=schema)
+        sub.coalesce(1).write.mode("append").parquet(d)
+        for f in set(os.listdir(d)) - before:  # only the just-written files
+            os.utime(os.path.join(d, f), (mtime, mtime))
+
+    t0 = pd.Timestamp("2024-06-01 10:00:00")
+    base = _time.time()
+    # batch 1: rows at 10:00 and 11:40 → watermark advances to 11:10, which
+    # passes the END of the [10:00, 11:00) window
+    write_file(
+        "f1", [(t0, 1, "a", 1.0), (t0 + pd.Timedelta("100min"), 1, "a", 1.0)], base - 200
+    )
+    # batch 2: spacer — state eviction runs at batch end, so the [10:00,11:00)
+    # window is finalized (n=1) during this batch under watermark 11:10
+    write_file("fs", [(t0 + pd.Timedelta("2h"), 1, "a", 1.0)], base - 100)
+    # batch 3: a LATE row at 10:05 — its window was already finalized →
+    # dropped; plus a 13:00 row that advances the watermark past [11:00,12:00)
+    write_file(
+        "f2",
+        [(t0 + pd.Timedelta("5min"), 1, "a", 1.0), (t0 + pd.Timedelta("3h"), 1, "a", 1.0)],
+        base,
+    )
+
+    stream = read_parquet_stream(spark, d, spark.read.parquet(d).schema, max_files_per_trigger=1)
+    agg = tumbling_window_agg(stream, width="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        str(r.window_start): r.n for r in spark.table("t_late").collect()
+    }
+    # the 10:00 window was finalized with ONE row — the late 10:05 arrival
+    # was dropped (watermark had passed its window end), not merged
+    assert out.get("2024-06-01 10:00:00") == 1, out
+    # the 11:40 row's window was closed by the 13:00 arrival in batch 2
+    assert out.get("2024-06-01 11:00:00") == 1, out

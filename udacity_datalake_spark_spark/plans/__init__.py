@@ -6,6 +6,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     scalar,
     setops,
     similarity,
+    streaming_queries,
     textops,
     windows,
 )

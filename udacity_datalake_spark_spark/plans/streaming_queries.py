@@ -1,0 +1,115 @@
+"""Event-time windowing query surface (batch mode of the streaming
+operators — the same transformations run as streams, proven equivalent in
+tests/test_streaming.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_counts,
+    tumbling_window_agg,
+)
+
+
+@query(
+    "q52_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q52_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows: count + exact decimal sum.
+    Identical code path runs as a Structured Streaming query with a
+    watermark (streaming.windows.tumbling_window_agg)."""
+    return tumbling_window_agg(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q53_sliding_window",
+    oracle="""
+    WITH exploded AS (
+        SELECT event_type,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+                   AS window_start,
+               ts
+        FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n
+    FROM exploded
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+    """,
+)
+def q53_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h width, 30 min slide): every event contributes
+    to 2 windows; oracle expands membership explicitly."""
+    return sliding_window_counts(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q54_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 10 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q54_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (10 min): Spark's session_window vs. the
+    classic gaps-and-islands SQL — same sessions, same bounds
+    (end = last event + gap)."""
+    return session_window_agg(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q55_stream_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           min(ts) AS first_ts
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q55_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first-occurrence dedup on (user_id, event_type) —
+    the batch twin of streaming dropDuplicatesWithinWatermark (which keeps
+    the first arrival; in event-time order that is min(ts))."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "event_type", F.col("ts").alias("first_ts"))
+    )

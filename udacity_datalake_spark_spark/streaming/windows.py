@@ -1,0 +1,117 @@
+"""Structured Streaming surface: event-time windows, watermarks, stream
+dedup, and an availableNow batch-replay harness.
+
+The reference is batch-only (SURVEY.md §2.8); this module gives the engine
+the streaming half.  Every aggregation here is written so the SAME
+transformation runs in batch (for the DuckDB oracle) and as a stream —
+the streaming tests replay the events table with ``availableNow`` and
+assert equality with the batch result.
+
+Watermark discipline for 100 TB streams: state for a window is dropped
+once the watermark (max event time − delay) passes its end; late rows
+beyond the delay are dropped, bounding state size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from udacity_datalake_spark_spark.functions.numeric import dec
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, schema: T.StructType, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a parquet directory (explicit schema —
+    streaming sources never infer)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_window_agg(
+    events: DataFrame, ts_col: str = "ts", width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-(window, event_type) count + exact decimal sum over tumbling
+    event-time windows.  Works unchanged on a batch or streaming frame."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), width, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame, ts_col: str = "ts", gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-based): a session closes after
+    ``gap`` of silence; window end = last event + gap."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedup on business keys with bounded state: duplicates
+    arriving within the watermark horizon are dropped; state for keys
+    older than the watermark is reclaimed."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.dropDuplicatesWithinWatermark(keys) if events.isStreaming else src.dropDuplicates(keys)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+    """Replay a bounded stream to completion (availableNow trigger) into a
+    memory sink; returns the sink as a DataFrame for assertions.
+    ``output_mode='complete'`` for aggregations, ``'append'`` for
+    row-level streams (dedup, maps)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
