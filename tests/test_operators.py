@@ -62,3 +62,45 @@ def test_asof_join_backward(spark):
     assert out[("A", 10)] == 99.0      # latest quote at/before t=10
     assert out[("A", 20)] == 100.9     # equal-timestamp quote counts (<=)
     assert out[("B", 15)] is None      # no quote yet
+
+
+def test_salted_join_equals_plain_join(spark):
+    from udacity_datalake_spark_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for k in ("hot", "hot", "hot", "cold") for i in range(3)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C"), ("unused", "U")], ["k", "tag"])
+    plain = fact.join(dim, "k", "inner")
+    salted = salted_join(fact, dim, key="k", n_salt=4)
+    key = lambda r: tuple(str(x) for x in r)
+    assert sorted(map(key, salted.select(*plain.columns).collect())) == sorted(
+        map(key, plain.collect())
+    )
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from udacity_datalake_spark_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([("a", 1), ("orphan", 2)], ["k", "v"])
+    dim = spark.createDataFrame([("a", "A")], ["k", "tag"])
+    out = {r.k: r.tag for r in salted_join(fact, dim, key="k", n_salt=3, how="left").collect()}
+    assert out == {"a": "A", "orphan": None}
+
+
+def test_range_band_join_matches_naive_and_handles_overlap(spark):
+    from udacity_datalake_spark_spark.operators.joins import range_band_join
+
+    fact = spark.createDataFrame([(float(v),) for v in (0, 4999, 5000, 7500, 12000, 19999)], ["val"])
+    # overlapping bands: 7500 falls in both
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 10000.0), ("mid", 5000.0, 20000.0)], "name string, lo double, hi double"
+    )
+    naive = fact.join(bands, (F.col("val") >= F.col("lo")) & (F.col("val") < F.col("hi")))
+    bucketed = range_band_join(fact, bands, value_col="val")
+    key = lambda r: (r.val, r.name)
+    assert sorted(map(key, bucketed.collect())) == sorted(map(key, naive.collect()))
+    # boundary: hi is exclusive, lo inclusive
+    got = {(r.val, r.name) for r in bucketed.collect()}
+    assert (5000.0, "mid") in got and (5000.0, "lo") in got  # 5000 in [0,10000) too
+    assert (19999.0, "mid") in got and (7500.0, "lo") in got and (7500.0, "mid") in got

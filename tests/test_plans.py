@@ -1,0 +1,86 @@
+"""Plan-shape assertions: the 100 TB guarantees are properties of the
+physical plan, not the result values — filters reach the parquet scan,
+dim joins broadcast, nothing nested-loops, and no hot-path query crosses
+into a Python worker."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.explain import (
+    explain_str,
+    has_python_eval,
+    join_nodes,
+    scan_pushdown,
+)
+from udacity_datalake_spark_spark.operators.joins import left_join_or, range_band_join, salted_join
+from udacity_datalake_spark_spark.plans import QUERIES
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    pushed = scan_pushdown(df)
+    assert pushed and any("o_orderstatus" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = explain_str(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    # only the 2 projected columns are read, not the 11-column table
+    assert "l_extendedprice" not in read_schema[0] and "l_quantity" in read_schema[0]
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    q = QUERIES["q05_inner_join"](spark, sf_dir)
+    nodes = join_nodes(q)
+    assert "BroadcastHashJoin" in nodes, nodes
+    assert "BroadcastNestedLoopJoin" not in nodes and "CartesianProduct" not in nodes
+
+
+def test_or_join_rewrite_has_no_nested_loop(spark):
+    left = spark.createDataFrame([(1, "a", "x")], ["lid", "lname", "lloc"])
+    right = spark.createDataFrame([(10, "a", "y")], ["rid", "rname", "rloc"])
+    out = left_join_or(
+        left, right, F.col("lname") == F.col("rname"), F.col("lloc") == F.col("rloc")
+    )
+    nodes = join_nodes(out)
+    assert nodes and "BroadcastNestedLoopJoin" not in nodes, nodes
+
+
+def test_range_band_join_is_hash_join(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_extendedprice"])
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 50000.0), ("hi", 50000.0, 110000.0)], "name string, lo double, hi double"
+    )
+    out = range_band_join(li, bands, value_col="l_extendedprice")
+    nodes = join_nodes(out)
+    assert nodes and all(n in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin") for n in nodes), nodes
+
+
+def test_salted_join_is_hash_join(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    o = read_table(spark, sf_dir, "orders", columns=["o_orderkey"]).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    nodes = join_nodes(salted_join(li, o, key="l_orderkey"))
+    assert nodes and "BroadcastNestedLoopJoin" not in nodes and "CartesianProduct" not in nodes
+
+
+def test_relational_queries_stay_jvm_side(spark, sf_dir):
+    """q01–q39: pure relational surface must never cross into Python.
+    (q50/q51 are the *deliberate* pandas-UDF paths and are exempt.)"""
+    for name, fn in QUERIES.items():
+        if not name[1:3].isdigit() or not int(name[1:3]) < 40:
+            continue
+        assert not has_python_eval(fn(spark, sf_dir)), f"{name} plans a Python eval node"
+
+
+def test_flagship_query_whole_stage_codegen(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # whole-stage codegen renders as "*(n)" in the executed-plan tree
+    assert "*(" in plan, plan

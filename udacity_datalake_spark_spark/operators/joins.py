@@ -71,3 +71,72 @@ def asof_join(
     for c in payload_cols:
         combined = combined.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return combined.where(F.col("__side") == 1).drop("__side", "__ts", right_ts)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: identical semantics to
+    ``fact.join(dim, key, how)`` but a hot key's rows spread over
+    ``n_salt`` shuffle partitions instead of landing on one straggler task.
+
+    The fact side gets a deterministic salt derived from its full row hash;
+    the dim side is replicated n_salt× (explode of a literal range), so
+    every (key, salt) pair finds its dim partner.  Use when a key holds
+    >~1 GB of fact rows and AQE's skew split isn't available (e.g., the
+    join feeds a co-partitioned downstream op).  Cost: dim shuffle volume
+    ×n_salt — keep for genuinely skewed fact⋈dim joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    fact_cols = [c for c in fact.columns if c != key]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn("__salt", F.explode(F.array([F.lit(i) for i in range(n_salt)])))
+    out = f.join(d, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def range_band_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 5000.0,
+) -> DataFrame:
+    """Range join fact.value ∈ [band.lo, band.hi) as an equi-join.
+
+    A naive non-equi range join plans as BroadcastNestedLoopJoin — O(n·m)
+    and only viable while the band table is broadcast-small.  This rewrite
+    buckets the value axis: each band explodes into the fixed-width
+    buckets it overlaps, the fact side computes its single bucket, and the
+    join runs as a hash equi-join on bucket with the exact range predicate
+    as a residual filter.  Scales to arbitrarily many bands/fact rows with
+    one shuffle.  Bands may overlap (a fact row then matches every
+    covering band, same as the naive join).
+    """
+    b = F.floor(F.col(value_col) / F.lit(bucket_width))
+    f = fact.withColumn("__bucket", b.cast("long"))
+    exploded = bands.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                # hi is exclusive: a band ending exactly on a bucket edge
+                # does not overlap the next bucket
+                F.floor(
+                    (F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)
+                ).cast("long"),
+            )
+        ),
+    )
+    return (
+        f.join(exploded, "__bucket", "inner")
+        .where((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("__bucket")
+    )

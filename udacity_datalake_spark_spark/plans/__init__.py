@@ -2,6 +2,7 @@
 
 from udacity_datalake_spark_spark.plans import (  # noqa: F401
     grouping,
+    joins_extra,
     relational,
     scalar,
     setops,

@@ -1,0 +1,211 @@
+"""Join kinds absent from the reference (SURVEY.md §2.3 "absent join
+kinds"): as-of, range, full-outer, cross, and the skew-salted equi-join.
+
+Each runs through the scale-safe operator implementations in
+``operators.joins`` — the physical plans are hash joins (plus one
+window pass for as-of), never nested loops — and is proven against a
+naive DuckDB formulation of the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.functions.arrays import cosine_similarity
+from udacity_datalake_spark_spark.functions.numeric import exact_sum
+from udacity_datalake_spark_spark.operators.joins import (
+    asof_join,
+    range_band_join,
+    salted_join,
+)
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+
+@query(
+    "q34_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts AS pts, max(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.pts AS purchase_ts, p.purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.pts
+    """,
+)
+def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click gets the same user's most recent
+    purchase at-or-before it.  Implemented as union + one window pass
+    (operators.joins.asof_join) — a single shuffle on user_id, no
+    range-explosion join; the oracle is DuckDB's native ASOF JOIN.
+    Purchases are pre-deduped per (user, ts) so tie order is defined."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("value").alias("purchase_value"))
+        .select("user_id", "pts", F.col("pts").alias("purchase_ts"), "purchase_value")
+    )
+    return asof_join(clicks, purchases, on=["user_id"], left_ts="ts", right_ts="pts")
+
+
+@query(
+    "q35_range_band_join",
+    oracle="""
+    SELECT b.band_name,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN (VALUES ('budget',  900.0,   5000.0),
+                 ('mid',     5000.0,  20000.0),
+                 ('premium', 20000.0, 50000.0),
+                 ('luxury',  50000.0, 105000.0)) b(band_name, lo, hi)
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY 1
+    """,
+)
+def q35_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (value ∈ [lo, hi)) executed as a bucketed hash equi-join
+    with a residual filter (operators.joins.range_band_join) — the naive
+    non-equi predicate would plan as BroadcastNestedLoopJoin, O(n·m) and
+    broadcast-bound; the bucketed form scales to any band-table size."""
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+    bands = spark.createDataFrame(
+        [("budget", 900.0, 5000.0), ("mid", 5000.0, 20000.0),
+         ("premium", 20000.0, 50000.0), ("luxury", 50000.0, 105000.0)],
+        "band_name string, lo double, hi double",
+    )
+    joined = range_band_join(li, bands, value_col="l_extendedprice")
+    return joined.groupBy("band_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "q36_full_outer_join",
+    oracle="""
+    WITH c AS (
+        SELECT n_name, count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name < 'M' GROUP BY 1
+    ),
+    s AS (
+        SELECT n_name, count(*) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name > 'F' GROUP BY 1
+    )
+    SELECT COALESCE(c.n_name, s.n_name) AS n_name, n_customers, n_suppliers
+    FROM c FULL OUTER JOIN s ON c.n_name = s.n_name
+    """,
+)
+def q36_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two asymmetric aggregates (customer nations
+    A..L vs supplier nations G..Z): both-side, left-only, and right-only
+    rows all appear, with the join key coalesced."""
+    nation = read_table(spark, sf_dir, "nation")
+    c = (
+        read_table(spark, sf_dir, "customer", columns=["c_nationkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") < "M")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier", columns=["s_nationkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") > "F")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    # name-list join → Spark coalesces the key across sides (USING semantics)
+    return c.join(s, ["n_name"], "full_outer")
+
+
+@query(
+    "q37_cross_join",
+    oracle="""
+    SELECT r_name, o_orderpriority
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+    """,
+)
+def q37_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny deduped sides (5 regions × 5
+    priorities) — the only shape where a cross join is legitimate; both
+    inputs collapse to broadcast-size before the product."""
+    r = read_table(spark, sf_dir, "region", columns=["r_name"])
+    p = read_table(spark, sf_dir, "orders", columns=["o_orderpriority"]).distinct()
+    return r.crossJoin(p)
+
+
+@query(
+    "q38_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q38_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact⋈dim equi-join run through the skew-salting rewrite
+    (operators.joins.salted_join): identical result to the plain join —
+    which is exactly what the oracle computes — but a hot orderkey's rows
+    spread across 8 tasks instead of one straggler."""
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    o = read_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return salted_join(li, o, key="l_orderkey", n_salt=8).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@query(
+    "q56_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+           , 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+          >= 0.45
+    """,
+)
+def q56_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45, id_a < id_b):
+    the dedup family's semantic-similarity member.  Brute-force all-pairs
+    here (exact baseline; N=500 at sf0.01); the scale path prefilters
+    candidates with the q49 hyperplane-LSH buckets so the quadratic
+    compare only runs inside buckets.  Cosine stays JVM-side via
+    zip_with/aggregate — no UDF."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    sim = cosine_similarity("__va", "__vb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(sim >= 0.45)
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+    )
