@@ -21,6 +21,7 @@ from udacity_datalake_spark_spark.plans import QUERIES
 from udacity_datalake_spark_spark.session import get_session
 
 HEADLINE = [
+    # relational core
     "q01_pricing_summary",
     "q02_filter_project",
     "q05_inner_join",
@@ -28,6 +29,15 @@ HEADLINE = [
     "q07_or_join_decomposed",
     "q10_multi_hop_join",
     "q11_groupby_agg",
+    # window / join-kind / scale-path surface
+    "q13_topk_per_group",
+    "q34_asof_join",
+    "q35_range_band_join",
+    "q38_salted_join",
+    # LLM-pipeline + event-time surface
+    "q40_dedup_exact",
+    "q44_fingerprint",
+    "q52_tumbling_window",
 ]
 
 
@@ -37,8 +47,16 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     spark = get_session(app_name="udacity-datalake-spark-bench")
-    # warm up the JVM + parquet footer caches outside the timed region
-    QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm-up: run every headline query once at the smallest SF.  The plan
+    # shapes are identical, so this compiles the same whole-stage-codegen
+    # classes and fills the JIT — the timed region below measures
+    # steady-state data throughput, not first-call code generation.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        if name in QUERIES:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_datalake_spark_spark.functions.arrays import cosine_similarity
+from udacity_datalake_spark_spark.functions.arrays import dot_product, l2_norm
 from udacity_datalake_spark_spark.functions.numeric import exact_sum
 from udacity_datalake_spark_spark.operators.joins import (
     asof_join,
@@ -201,11 +201,21 @@ def q56_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare only runs inside buckets.  Cosine stays JVM-side via
     zip_with/aggregate — no UDF."""
     emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
-    sim = cosine_similarity("__va", "__vb")
+    # norms once per row (N sqrt's), not once per pair (N² of them)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"),
+        l2_norm("embedding").alias("__na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"),
+        l2_norm("embedding").alias("__nb"),
+    )
+    sim = dot_product("__va", "__vb") / (F.col("__na") * F.col("__nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(sim >= 0.45)
-        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .withColumn("__sim", sim)
+        # threshold on the raw value, round only for display — otherwise a
+        # 0.44999x pair would round in but fail the oracle's raw predicate
+        .where(F.col("__sim") >= 0.45)
+        .select("id_a", "id_b", F.round("__sim", 6).alias("sim"))
     )
