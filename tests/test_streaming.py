@@ -126,3 +126,31 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert out.get("2024-06-01 10:00:00") == 1, out
     # the 11:40 row's window was closed by the 13:00 arrival in batch 2
     assert out.get("2024-06-01 11:00:00") == 1, out
+
+
+def test_stateful_user_totals_equals_batch(spark, events_dir):
+    """applyInPandasWithState: the final per-user emission must equal the
+    batch groupBy — state carried across micro-batches."""
+    from udacity_datalake_spark_spark.streaming.stateful import stateful_user_totals
+
+    schema = _batch_schema(spark, events_dir)
+    stream = read_parquet_stream(spark, events_dir, schema, max_files_per_trigger=1)
+    emitted = run_available_now(stateful_user_totals(stream), "t_stateful", output_mode="update")
+    # update mode appends one row per (user, batch); the final state is the
+    # row with the highest n per user
+    final = {
+        r.user_id: (r.n, r.sum_value)
+        for r in emitted.orderBy("user_id", "n").collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.sum_value)
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, sv) in batch.items():
+        fn, fsv = final[uid]
+        assert fn == n, (uid, fn, n)
+        assert abs(fsv - sv) < 1e-6 * max(1.0, abs(sv)), (uid, fsv, sv)

@@ -61,6 +61,51 @@ def extract_payload_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     return df.select(id_col, "payload").mapInPandas(features, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str = "doc_id", frame_size: int = 64, every: int = 4
+) -> DataFrame:
+    """Frame-sampling batch shape: one payload row in → N sampled-frame
+    rows out, inside a single mapInPandas stage (no driver round-trip, no
+    explode of pre-decoded data).  The "video" here is the raw payload
+    chunked into fixed-size frames with every k-th kept — a real
+    ffmpeg-style decoder yields frames into the same per-row loop.  Output
+    carries per-frame digests/sizes, not raw frame bytes: at 100 TB the
+    heavy artifacts go to a side store, the relational engine keeps
+    references."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, sizes, digests = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                for frame_no in range(0, -(-len(data) // frame_size), every):
+                    chunk = data[frame_no * frame_size : (frame_no + 1) * frame_size]
+                    ids.append(doc_id)
+                    nos.append(frame_no)
+                    sizes.append(len(chunk))
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_digest": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
 def decode_media(df: DataFrame, codec: str) -> DataFrame:
     """STUB — real media decode requires codec libraries (PIL/ffmpeg/...)
     not present in this environment.  The full implementation plugs a

@@ -9,6 +9,7 @@ from pyspark.sql import types as T
 
 from udacity_datalake_spark_spark.operators.multimodal import (
     extract_payload_features,
+    sample_frames,
     with_binary_payload,
 )
 from udacity_datalake_spark_spark.operators.similarity import cosine_topk, hyperplane_lsh_topk
@@ -121,3 +122,26 @@ def q51_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return d.select("source", "n_chars").groupBy("source").applyInPandas(stats, schema)
+
+
+@query(
+    "q57_frame_sample",
+    oracle="""
+    -- documents.text is pure ASCII (verified: octet_length == length for
+    -- every row), so VARCHAR substring arithmetic equals byte slicing
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_no,
+           CAST(length(substring(text, 1 + CAST(f AS INTEGER) * 64, 64))
+                AS INTEGER) AS frame_bytes,
+           md5(substring(text, 1 + CAST(f AS INTEGER) * 64, 64)) AS frame_digest
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) AS t(f)
+    """,
+)
+def q57_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over binary payloads: every 4th 64-byte frame,
+    digested inside one mapInPandas stage (1 row in → N frame rows out —
+    the video/audio frame-extraction batch shape).  The oracle recomputes
+    the same frames with SQL substring arithmetic."""
+    d = read_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(d), id_col="doc_id")
