@@ -1,0 +1,36 @@
+"""Catalog + session-conf surface tests."""
+
+from __future__ import annotations
+
+from udacity_datalake_spark_spark.catalog import register_tables, sql
+from udacity_datalake_spark_spark.session import s3a_conf
+
+
+def test_register_tables_makes_sql_views(spark, sf_dir):
+    frames = register_tables(spark, sf_dir, ["region", "nation"])
+    assert set(frames) == {"region", "nation"}
+    got = spark.sql("SELECT count(*) AS n FROM region").collect()[0].n
+    assert got == frames["region"].count() == 5
+
+
+def test_sql_runs_joins_over_catalog(spark, sf_dir):
+    df = sql(
+        spark,
+        sf_dir,
+        "SELECT r_name, count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+    )
+    rows = {r.r_name: r.n for r in df.collect()}
+    assert sum(rows.values()) == 25 and len(rows) == 5
+
+
+def test_s3a_conf_shape():
+    conf = s3a_conf(access_key="AK", secret_key="SK", hadoop_aws_version="3.4.1")
+    assert conf["spark.jars.packages"] == "org.apache.hadoop:hadoop-aws:3.4.1"
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "AK"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "SK"
+    # no creds → provider-chain mode: no key entries at all
+    anon = s3a_conf(access_key=None, secret_key="only-one-given")
+    import os
+
+    if "AWS_ACCESS_KEY_ID" not in os.environ:
+        assert "spark.hadoop.fs.s3a.access.key" not in anon

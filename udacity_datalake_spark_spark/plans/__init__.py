@@ -7,6 +7,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     scalar,
     setops,
     similarity,
+    sql_surface,
     streaming_queries,
     textops,
     windows,

@@ -1,0 +1,44 @@
+"""Pure-SQL query surface: the engine's catalog (catalog.py) makes every
+table a named view, so users can run ANSI SQL directly — the reference
+exposes only the DataFrame API; this closes the SQL half of the Spark
+surface.  The statement below is written in the dialect-neutral subset
+and executes VERBATIM on both Spark SQL and the DuckDB oracle — dialect
+parity is part of what the query proves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from udacity_datalake_spark_spark.catalog import sql
+from udacity_datalake_spark_spark.plans.registry import query
+
+# TPC-H Q3-shaped shipping-priority query (segment filter, 3-way join,
+# revenue top-10).  Decimal casts written explicitly so Spark and DuckDB
+# produce bit-identical sums; ORDER BY carries the unique group key so
+# the LIMIT cut is deterministic.
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q58_sql_shipping_priority", oracle=_Q3_SQL)
+def q58_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME SQL text the oracle runs, executed through spark.sql over
+    the registered catalog — Catalyst plans the 3-way join with the
+    customer dim broadcast and both filters pushed to the parquet scans."""
+    return sql(spark, sf_dir, _Q3_SQL)
