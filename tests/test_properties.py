@@ -1,0 +1,116 @@
+"""Property-based equivalence: each composite operator rewrite must equal
+its naive formulation on ARBITRARY inputs, not just the fixtures — the
+rewrites (OR-join decomposition, salting, range bucketing, as-of union)
+are only worth shipping if they're semantics-preserving everywhere.
+
+Hypothesis generates small frames (Spark job per example — keep
+max_examples low); deadline disabled because JVM scheduling jitter
+dwarfs any per-example bound.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.operators.joins import (
+    asof_join,
+    left_join_or,
+    range_band_join,
+    salted_join,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+names = st.sampled_from(["a", "b", "c", None])
+locs = st.sampled_from(["x", "y", None])
+
+
+def _rows(df):
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 9), names, locs), min_size=0, max_size=6),
+    right=st.lists(st.tuples(st.integers(10, 19), names, locs), min_size=0, max_size=6),
+)
+@SETTINGS
+def test_left_join_or_property(spark, left, right):
+    l = spark.createDataFrame(left, "lid int, lname string, lloc string") if left else None
+    r = spark.createDataFrame(right, "rid int, rname string, rloc string") if right else None
+    if l is None or r is None:
+        return
+    cond1, cond2 = F.col("lname") == F.col("rname"), F.col("lloc") == F.col("rloc")
+    assert _rows(left_join_or(l, r, cond1, cond2)) == _rows(l.join(r, cond1 | cond2, "left"))
+
+
+@given(
+    fact=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=0, max_size=8),
+    dim=st.lists(st.tuples(st.integers(0, 3), st.text("AB", min_size=1, max_size=2)), min_size=0, max_size=4),
+    how=st.sampled_from(["inner", "left"]),
+)
+@SETTINGS
+def test_salted_join_property(spark, fact, dim, how):
+    if not fact or not dim:
+        return
+    # salting assumes dim keys unique (a dim); dedup to hold the invariant
+    dim = list({k: (k, t) for k, t in dim}.values())
+    f = spark.createDataFrame(fact, "k int, v int")
+    d = spark.createDataFrame(dim, "k int, tag string")
+    plain = f.join(d, "k", how)
+    salted = salted_join(f, d, key="k", n_salt=3, how=how)
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+@given(
+    vals=st.lists(st.floats(0, 100, allow_nan=False), min_size=0, max_size=8),
+    bands=st.lists(
+        st.tuples(st.floats(0, 90, allow_nan=False), st.floats(1, 40, allow_nan=False)),
+        min_size=0,
+        max_size=4,
+    ),
+)
+@SETTINGS
+def test_range_band_join_property(spark, vals, bands):
+    if not vals or not bands:
+        return
+    band_rows = [(f"b{i}", lo, lo + width) for i, (lo, width) in enumerate(bands)]
+    f = spark.createDataFrame([(v,) for v in vals], "val double")
+    b = spark.createDataFrame(band_rows, "name string, lo double, hi double")
+    naive = f.join(b, (F.col("val") >= F.col("lo")) & (F.col("val") < F.col("hi")))
+    bucketed = range_band_join(f, b, value_col="val", bucket_width=7.0)
+    assert _rows(bucketed.select(*naive.columns)) == _rows(naive)
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=0, max_size=6),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(0, 9)),
+        min_size=0,
+        max_size=6,
+    ),
+)
+@SETTINGS
+def test_asof_join_property(spark, left, right):
+    """asof_join equals the naive 'max right_ts <= left_ts' correlated
+    lookup. Right side deduped per (key, ts) to make the tie defined."""
+    if not left:
+        return
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+    l = spark.createDataFrame(left, "k int, t int")
+    r = spark.createDataFrame(right or [(99, 0, 0)], "k int, rt int, payload int")
+    got = {
+        (row.k, row.t): row.payload
+        for row in asof_join(l, r, on=["k"], left_ts="t", right_ts="rt").collect()
+    }
+    rmap: dict[int, list[tuple[int, int]]] = {}
+    for k, rt, payload in right or []:
+        rmap.setdefault(k, []).append((rt, payload))
+    for k, t in left:
+        match = max(((rt, p) for rt, p in rmap.get(k, []) if rt <= t), default=None)
+        assert got[(k, t)] == (match[1] if match else None), (k, t, got[(k, t)], match)

@@ -154,3 +154,20 @@ def test_stateful_user_totals_equals_batch(spark, events_dir):
         fn, fsv = final[uid]
         assert fn == n, (uid, fn, n)
         assert abs(fsv - sv) < 1e-6 * max(1.0, abs(sv)), (uid, fsv, sv)
+
+
+def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path):
+    """foreachBatch drains the stream into the same parquet layout the
+    batch writer produces; row set equals the source."""
+    from udacity_datalake_spark_spark.streaming.sinks import foreach_batch_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = _batch_schema(spark, events_dir)
+    stream = read_parquet_stream(spark, events_dir, schema, max_files_per_trigger=2)
+    q = foreach_batch_parquet(stream, out, ckpt)
+    q.awaitTermination()
+    sunk = spark.read.parquet(out)
+    src = spark.read.parquet(events_dir)
+    cols = sorted(src.columns)
+    assert _as_sorted_rows(sunk, cols) == _as_sorted_rows(src, cols)
