@@ -84,3 +84,24 @@ def test_flagship_query_whole_stage_codegen(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # whole-stage codegen renders as "*(n)" in the executed-plan tree
     assert "*(" in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Tables bucketed identically on the join key must join without a
+    shuffle — the Exchange is paid once at write time."""
+    from udacity_datalake_spark_spark.sources.writers import write_bucketed_table
+
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    o = read_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    write_bucketed_table(li, "li_b", str(tmp_path / "li"), ["l_orderkey"], n_buckets=8,
+                         sort_by=["l_orderkey"])
+    write_bucketed_table(o, "o_b", str(tmp_path / "o"), ["o_orderkey"], n_buckets=8,
+                         sort_by=["o_orderkey"])
+    joined = spark.table("li_b").join(
+        spark.table("o_b").hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # same rows as the plain-path join
+    assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()

@@ -63,3 +63,23 @@ def explode_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
         df.where(F.size(tokens(text_col)) >= n)
         .select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
     )
+
+
+# GPT-style byte-pair encoders emit roughly one token per short word /
+# punctuation mark and split longer words every ~5-8 characters.  This
+# estimator counts word/number/punctuation pieces and charges long pieces
+# one extra token per started 7-char span — a deterministic, codegen'd
+# proxy good enough for corpus sizing and per-doc budget filters (the real
+# tokenizer is a Python library; keep it off the 100 TB hot path).
+BPE_PIECE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_estimate(text: Column | str) -> Column:
+    """Σ over regex pieces of ceil(len/7) — the BPE-ish token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), 0)
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.ceil(F.length(x) / 7.0).cast("long"),
+    )

@@ -14,6 +14,7 @@ from udacity_datalake_spark_spark.operators.dedup import (
 )
 from udacity_datalake_spark_spark.operators.text import (
     EN_STOPWORDS,
+    bpe_token_estimate,
     stopword_hits,
     token_count,
     tokens,
@@ -210,3 +211,27 @@ def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_llm_ops.py)."""
     d = read_table(spark, sf_dir, "documents")
     return simhash_near_pairs(d, "doc_id", "text", max_hamming=7)
+
+
+@query(
+    "q59_bpe_token_estimate",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(
+                    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+                    x -> CAST(ceil(length(x) / 7.0) AS BIGINT)))
+                AS BIGINT) AS bpe_tokens,
+           len(string_split(text, ' ')) AS ws_tokens
+    FROM documents
+    """,
+)
+def q59_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token estimate next to the whitespace count —
+    regex piece extraction + per-piece ceil(len/7), all inside codegen
+    (operators.text.bpe_token_estimate); no Python tokenizer on the scan."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_estimate("text").alias("bpe_tokens"),
+        token_count("text").alias("ws_tokens"),
+    )

@@ -33,3 +33,26 @@ def write_parquet(
         if target_files is not None:
             df = df.coalesce(target_files)
         df.write.mode(mode).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_by: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+) -> None:
+    """Bucketed external parquet table: rows hash-partitioned into
+    ``n_buckets`` files per partition by ``bucket_by``, optionally sorted.
+
+    The 100 TB co-location play: two tables bucketed the same way join
+    WITHOUT an Exchange — the shuffle was paid once at write time and is
+    amortized over every subsequent join/aggregate on the bucket key
+    (verified by plan assertion in tests/test_plans.py).  Requires
+    ``saveAsTable`` (bucket metadata lives in the catalog, not the files).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.option("path", path).saveAsTable(name)
