@@ -75,3 +75,16 @@ def test_multimodal_digest_matches_python(spark, sf_dir):
     )
     assert row.digest == hashlib.md5(text.encode()).hexdigest()
     assert row.payload_bytes == len(text.encode())
+
+
+def test_resize_payload_batch_shape(spark, sf_dir):
+    from udacity_datalake_spark_spark.operators.multimodal import resize_payload, with_binary_payload
+    from udacity_datalake_spark_spark.sources.readers import read_table
+
+    d = with_binary_payload(read_table(spark, sf_dir, "documents")).limit(20)
+    out = resize_payload(d, factor=4).collect()
+    src = {r.doc_id: r.text for r in read_table(spark, sf_dir, "documents").limit(20).collect()}
+    assert len(out) == 20
+    for r in out:
+        expected = src[r.doc_id].encode("utf-8")[::4]
+        assert bytes(r.payload) == expected and r.n_bytes == len(expected)

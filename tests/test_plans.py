@@ -105,3 +105,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     assert "Exchange" not in plan, plan
     # same rows as the plain-path join
     assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew handling: one hot key holding ~90% of fact rows gets its
+    partition split at runtime (OptimizeSkewedJoin) instead of a single
+    straggler task. Thresholds lowered to make 'skewed' reachable at
+    test scale; production keeps the 256 MB defaults."""
+    fact = spark.range(0, 200_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v"
+    )
+    dim = spark.range(0, 200_000).selectExpr("id AS k", "id * 2 AS w")
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        joined = fact.join(dim, "k")
+        # collect() drives THIS frame's QueryExecution (count()/write()
+        # build separate ones), letting AQE finalize it with runtime stats
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert n == 200_000
+    finally:
+        for k, v in saved.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))

@@ -114,3 +114,33 @@ def decode_media(df: DataFrame, codec: str) -> DataFrame:
         f"media decode ({codec}) is stubbed: no codec libraries in this environment; "
         "see extract_payload_features for the production batch shape"
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_payload(df: DataFrame, id_col: str = "doc_id", factor: int = 4) -> DataFrame:
+    """Resize batch shape: payload in → smaller payload out, same row
+    count, inside one mapInPandas stage.  The deterministic stand-in
+    keeps every ``factor``-th byte (a real implementation decodes, calls
+    PIL/ffmpeg resize, re-encodes in the same loop — the Spark contract
+    is unchanged: binary in, binary out, Arrow-batched)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["payload"].map(lambda b: bytes(b)[::factor])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out,
+                    "n_bytes": out.map(len).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize, RESIZE_SCHEMA)
