@@ -29,6 +29,7 @@ HEADLINE = [
     "q07_or_join_decomposed",
     "q10_multi_hop_join",
     "q11_groupby_agg",
+    "q61_local_supplier_volume",
     # window / join-kind / scale-path surface
     "q13_topk_per_group",
     "q34_asof_join",

@@ -34,3 +34,17 @@ def test_s3a_conf_shape():
 
     if "AWS_ACCESS_KEY_ID" not in os.environ:
         assert "spark.hadoop.fs.s3a.access.key" not in anon
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from udacity_datalake_spark_spark.sources.readers import read_table
+    from udacity_datalake_spark_spark.sources.writers import compact_parquet
+    import glob
+
+    src = str(tmp_path / "fragmented")
+    read_table(spark, sf_dir, "events").repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n == 1 and len(glob.glob(f"{dst}/*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == read_table(spark, sf_dir, "events").count()

@@ -88,3 +88,19 @@ def test_resize_payload_batch_shape(spark, sf_dir):
     for r in out:
         expected = src[r.doc_id].encode("utf-8")[::4]
         assert bytes(r.payload) == expected and r.n_bytes == len(expected)
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from udacity_datalake_spark_spark.plans import QUERIES
+
+    exact = QUERIES["q48_embedding_topk"](spark, sf_dir).collect()
+    approx = QUERIES["q60_ann_ivf"](spark, sf_dir).collect()
+    exact_set = {(r.qid, r.nid) for r in exact}
+    approx_set = {(r.qid, r.nid) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 4/16 data-adapted cells on weak-neighbor gaussians; floor is
+    # deliberately conservative — determinism matters more than the value
+    assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+    # determinism: second run identical
+    approx2 = {(r.qid, r.nid) for r in QUERIES["q60_ann_ivf"](spark, sf_dir).collect()}
+    assert approx_set == approx2

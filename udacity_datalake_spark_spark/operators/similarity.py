@@ -127,3 +127,94 @@ def hyperplane_lsh_topk(
         .select("qid", "nid", cosine_similarity("__qv", "__cv").alias("sim"))
     )
     return _ranked_topk(scored, k)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_rows: int = 2000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means fit on a bounded seeded sample.
+
+    This IS the production shape — FAISS-style IVF trains its coarse
+    centroids on a sample (a few 100k vectors) regardless of corpus size;
+    only the ASSIGNMENT pass below is corpus-sized.  Deterministic:
+    seeded sample, ids-ordered tie-break, fixed iteration count.
+    """
+    sample = np.array(
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.lit(seed), F.col(vec_col).cast("string")))
+        .limit(sample_rows)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _cell_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """pandas UDF: nearest-``n_probe`` centroid ids per vector (vectorized
+    matmul over the Arrow batch — one BLAS call per batch, no per-row
+    Python)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ centroids.T)  # + const ‖c‖² per col
+        d2 = d2 + (centroids * centroids).sum(1)[None, :]
+        order = np.argsort(d2, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's cell; a query probes its ``n_probe`` nearest cells and
+    exact-ranks only those members — the complement of the LSH path
+    (hyperplane_lsh_topk): data-adapted cells vs data-oblivious planes.
+
+    One corpus assignment pass (Arrow-batched matmul), one hash equi-join
+    on cell id, exact cosine re-rank on ~n_probe/n_cells of the corpus.
+    """
+    centroids = ivf_centroids(corpus, vec_col, n_cells, seed=seed)
+    corpus_cell = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("__cv"),
+        F.explode(_cell_assign_udf(centroids, 1)(F.col(vec_col))).alias("__cell"),
+    )
+    query_cells = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_cell_assign_udf(centroids, n_probe)(F.col(vec_col))).alias("__cell"),
+    )
+    scored = (
+        F.broadcast(query_cells)
+        .join(corpus_cell, "__cell")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine_similarity("__qv", "__cv").alias("sim"))
+        .distinct()
+    )
+    return _ranked_topk(scored, k)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.functions.arrays import dot_product, l2_norm
-from udacity_datalake_spark_spark.functions.numeric import exact_sum
+from udacity_datalake_spark_spark.functions.numeric import dec, exact_sum
 from udacity_datalake_spark_spark.operators.joins import (
     asof_join,
     range_band_join,
@@ -218,4 +218,53 @@ def q56_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 0.44999x pair would round in but fail the oracle's raw predicate
         .where(F.col("__sim") >= 0.45)
         .select("id_a", "id_b", F.round("__sim", 6).alias("sim"))
+    )
+
+
+@query(
+    "q61_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q61_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join (the widest plan in the surface):
+    fact lineitem joined through orders→customer and supplier, with the
+    local-supplier colocation predicate c_nationkey = s_nationkey, dims
+    broadcast and the date filter pushed into the orders scan.  Catalyst
+    reorders; AQE resizes the two fact shuffles at runtime."""
+    li = read_table(spark, sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    o = read_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = read_table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    s = read_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n = read_table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    r = read_table(spark, sf_dir, "region", columns=["r_regionkey", "r_name"]).where(
+        F.col("r_name") == "ASIA"
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"))
     )

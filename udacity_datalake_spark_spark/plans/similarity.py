@@ -12,7 +12,11 @@ from udacity_datalake_spark_spark.operators.multimodal import (
     sample_frames,
     with_binary_payload,
 )
-from udacity_datalake_spark_spark.operators.similarity import cosine_topk, hyperplane_lsh_topk
+from udacity_datalake_spark_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_lsh_topk,
+    ivf_topk,
+)
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
@@ -145,3 +149,14 @@ def q57_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same frames with SQL substring arithmetic."""
     d = read_table(spark, sf_dir, "documents")
     return sample_frames(with_binary_payload(d), id_col="doc_id")
+
+
+@query("q60_ann_ivf")  # approximate by design → rows-only; recall tested vs q48
+def q60_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (16 cells, probe 4, seeded k-means coarse quantizer
+    fit on a bounded sample): the data-adapted complement of q49's
+    hyperplane LSH.  Assignment is one Arrow-batched matmul over the
+    corpus; search touches ~n_probe/n_cells of it."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)

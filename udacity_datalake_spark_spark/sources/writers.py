@@ -56,3 +56,30 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.option("path", path).saveAsTable(name)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_file_mb`` files (the long-tail killer for streaming sinks
+    and over-parallel writes — a 100 TB table of 1 MB files spends more
+    time opening footers than reading data).  Returns the file count
+    written.  Sizing is from the actual on-disk bytes, not row counts, so
+    compression ratio is accounted for."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.repartition(n).write.mode("overwrite").parquet(dst_path)
+    return n
