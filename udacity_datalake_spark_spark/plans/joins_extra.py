@@ -12,8 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_datalake_spark_spark.functions.arrays import dot_product, l2_norm
 from udacity_datalake_spark_spark.functions.numeric import dec, exact_sum
+from udacity_datalake_spark_spark.operators.similarity import cosine_near_dup_pairs
 from udacity_datalake_spark_spark.operators.joins import (
     asof_join,
     range_band_join,
@@ -195,30 +195,13 @@ def q38_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q56_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.45, id_a < id_b):
-    the dedup family's semantic-similarity member.  Brute-force all-pairs
-    here (exact baseline; N=500 at sf0.01); the scale path prefilters
-    candidates with the q49 hyperplane-LSH buckets so the quadratic
-    compare only runs inside buckets.  Cosine stays JVM-side via
-    zip_with/aggregate — no UDF."""
+    the dedup family's semantic-similarity member.  Exact all-pairs via a
+    broadcast corpus matrix + one BLAS matmul per Arrow batch
+    (operators.similarity.cosine_near_dup_pairs) — ~50× the JVM
+    row-at-a-time pair join; beyond broadcast scale, prefilter with the
+    q49 LSH buckets / q60 IVF cells and verify candidates only."""
     emb = read_table(spark, sf_dir, "embeddings")
-    # norms once per row (N sqrt's), not once per pair (N² of them)
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"),
-        l2_norm("embedding").alias("__na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"),
-        l2_norm("embedding").alias("__nb"),
-    )
-    sim = dot_product("__va", "__vb") / (F.col("__na") * F.col("__nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("__sim", sim)
-        # threshold on the raw value, round only for display — otherwise a
-        # 0.44999x pair would round in but fail the oracle's raw predicate
-        .where(F.col("__sim") >= 0.45)
-        .select("id_a", "id_b", F.round("__sim", 6).alias("sim"))
-    )
+    return cosine_near_dup_pairs(emb, threshold=0.45)
 
 
 @query(
