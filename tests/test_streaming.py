@@ -171,3 +171,20 @@ def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path):
     src = spark.read.parquet(events_dir)
     cols = sorted(src.columns)
     assert _as_sorted_rows(sunk, cols) == _as_sorted_rows(src, cols)
+
+
+def test_rate_source_produces_rows(spark):
+    """rate source smoke: schema (timestamp, value) and monotone values."""
+    import time as _time
+
+    from udacity_datalake_spark_spark.streaming.windows import read_rate_stream
+
+    r = read_rate_stream(spark, rows_per_second=50, num_partitions=2)
+    q = r.writeStream.format("memory").queryName("t_rate").outputMode("append").start()
+    _time.sleep(3)
+    q.stop()
+    q.awaitTermination()
+    rows = spark.table("t_rate").collect()
+    assert rows and sorted(r.columns) == ["timestamp", "value"]
+    vals = sorted(r_.value for r_ in rows)
+    assert vals == list(range(vals[0], vals[0] + len(vals)))  # gapless

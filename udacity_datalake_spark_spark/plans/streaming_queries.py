@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from udacity_datalake_spark_spark.functions.numeric import dec
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 from udacity_datalake_spark_spark.streaming.windows import (
@@ -112,4 +113,60 @@ def q55_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("user_id", "event_type", F.col("ts").alias("first_ts"))
+    )
+
+
+@query(
+    "q62_timeseries_rollup",
+    oracle="""
+    SELECT '1 hour' AS grain,
+           date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT '1 day' AS grain,
+           date_trunc('day', ts) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 2, 3
+    """,
+)
+def q62_timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: the hourly rollup is
+    computed from raw events ONCE, and the daily grain re-aggregates the
+    hourly result (decimal partials re-sum exactly) — at 100 TB each
+    coarser grain reads the much smaller previous rollup, not the raw
+    table.  The oracle computes both grains from raw, proving the cascade
+    loses nothing."""
+    e = read_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("__sum_dec"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket_start")).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.sum("n").alias("n"), F.sum("__sum_dec").alias("__sum_dec"))
+    )
+    out_cols = [
+        "grain",
+        "bucket_start",
+        "event_type",
+        "n",
+        F.col("__sum_dec").cast("double").alias("sum_value"),
+    ]
+    return (
+        hourly.select(F.lit("1 hour").alias("grain"), *out_cols[1:])
+        .unionByName(daily.select(F.lit("1 day").alias("grain"), *out_cols[1:]))
     )

@@ -115,3 +115,17 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = 
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def read_rate_stream(
+    spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 4
+) -> DataFrame:
+    """Synthetic load source (``rate`` format): monotone (timestamp, value)
+    rows — the standard way to soak-test a streaming topology before
+    pointing it at real ingestion.  Columns: timestamp, value."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
