@@ -42,3 +42,22 @@ def q58_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registered catalog — Catalyst plans the 3-way join with the
     customer dim broadcast and both filters pushed to the parquet scans."""
     return sql(spark, sf_dir, _Q3_SQL)
+
+
+# Correlated scalar subquery — Catalyst de-correlates it into an aggregate
+# + join (RewriteCorrelatedScalarSubquery); DuckDB does the equivalent
+# flattening.  The remaining relational shape the surface hadn't covered.
+_MAX_BAL_SQL = """
+SELECT s_name, s_nationkey, s_acctbal
+FROM supplier s
+WHERE s_acctbal = (SELECT max(s2.s_acctbal)
+                   FROM supplier s2
+                   WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+
+@query("q63_correlated_subquery", oracle=_MAX_BAL_SQL)
+def q63_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation best-balance suppliers via a correlated scalar subquery
+    (TPC-H Q2's shape) — same SQL text on both engines."""
+    return sql(spark, sf_dir, _MAX_BAL_SQL)
