@@ -54,8 +54,12 @@ def ngram_jaccard_pairs(
     Shingle equi-join: cost concentrates in shingles shared by many docs
     (for genuinely common shingles, pre-filter high-document-frequency
     shingles before the join — see ``df_cap``).
+
+    The exploded-shingle frame feeds three plan branches (sizes + both
+    join sides); persist() materializes the shingle expression once
+    instead of three times.
     """
-    sh = explode_shingles(df, id_col, text_col, n)
+    sh = explode_shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
@@ -129,8 +133,9 @@ def minhash_lsh_pairs(
     )
 
     # exact-Jaccard verification restricted to the candidate set: expand
-    # each candidate pair to its shared shingles only (never all pairs)
-    sh = explode_shingles(df, id_col, text_col, n)
+    # each candidate pair to its shared shingles only (never all pairs);
+    # persist: the exploded frame feeds sizes + both candidate joins
+    sh = explode_shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
