@@ -48,3 +48,30 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     n = compact_parquet(spark, src, dst, target_file_mb=128)
     assert n == 1 and len(glob.glob(f"{dst}/*.parquet")) == 1
     assert spark.read.parquet(dst).count() == read_table(spark, sf_dir, "events").count()
+
+
+def test_dynamic_partition_overwrite_is_incremental(spark, sf_dir, tmp_path):
+    """partitionOverwriteMode=dynamic (set in the session factory):
+    rewriting one partition leaves sibling partitions intact — the
+    incremental-batch behavior the reference's full-table overwrite
+    (etl.py:46,62,95,134,171) cannot do at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from udacity_datalake_spark_spark.sources.readers import read_table
+    from udacity_datalake_spark_spark.sources.writers import write_parquet
+
+    out = str(tmp_path / "by_type")
+    ev = read_table(spark, sf_dir, "events")
+    write_parquet(ev, out, partition_by=["event_type"])
+    before = spark.read.parquet(out).groupBy("event_type").count().collect()
+
+    # rewrite ONLY the 'click' partition with a filtered subset
+    clicks_subset = ev.where((F.col("event_type") == "click") & (F.col("user_id") < 5))
+    write_parquet(clicks_subset, out, partition_by=["event_type"])
+
+    after = {r.event_type: r["count"] for r in spark.read.parquet(out).groupBy("event_type").count().collect()}
+    for r in before:
+        if r.event_type == "click":
+            assert after[r.event_type] == clicks_subset.count() != r["count"]
+        else:
+            assert after[r.event_type] == r["count"]  # untouched partitions survive
