@@ -1,0 +1,102 @@
+"""Training-data pipeline operators (plans/pipeline_ops.py): semantic
+invariants the oracle compare can't express — split stability, session
+gap bounds, shuffle counts — on sf0.001."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.explain import explain_str, has_python_eval
+from udacity_datalake_spark_spark.plans import QUERIES
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+
+def _exchanges(df) -> int:
+    return explain_str(df, "simple").count("Exchange hashpartitioning")
+
+
+def test_hash_split_partitions_corpus(spark, sf_dir):
+    out = QUERIES["q64_hash_split"](spark, sf_dir)
+    rows = {r.split: r.n_docs for r in out.collect()}
+    total = read_table(spark, sf_dir, "documents").count()
+    assert sum(rows.values()) == total  # every doc in exactly one split
+    assert set(rows) == {"train", "val", "test"}
+    assert rows["train"] > rows["val"] and rows["train"] > rows["test"]
+
+
+def test_hash_split_is_stable_and_shuffle_free(spark, sf_dir):
+    """Membership is a pure function of doc_id (no RNG): two runs agree,
+    and the only exchange is the final 3-group aggregate."""
+    a = QUERIES["q64_hash_split"](spark, sf_dir).collect()
+    b = QUERIES["q64_hash_split"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    df = QUERIES["q64_hash_split"](spark, sf_dir)
+    assert _exchanges(df) == 1, explain_str(df)
+
+
+def test_sessionize_gap_invariant(spark, sf_dir):
+    """No session spans a >30 min silence: re-derive per-event gaps and
+    check every >30 min gap starts a new session (and nothing else does)."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    n_breaks = gaps.where(F.col("gap_us") > 1800 * 1_000_000).count()
+    n_users = e.select("user_id").distinct().count()
+    n_sessions = QUERIES["q65_sessionize"](spark, sf_dir).count()
+    assert n_sessions == n_users + n_breaks
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """lag → flag → prefix sum → grouped agg all ride ONE user_id hash
+    partitioning (hashpartitioning(user_id) satisfies the (user_id,
+    session_seq) clustering requirement) — the property that keeps
+    sessionization a single shuffle at 100 TB."""
+    df = QUERIES["q65_sessionize"](spark, sf_dir)
+    assert _exchanges(df) == 1, explain_str(df)
+    assert not has_python_eval(df)
+
+
+def test_custdist_keeps_zero_order_customers(spark, sf_dir):
+    out = {r.c_count: r.custdist for r in QUERIES["q67_custdist"](spark, sf_dir).collect()}
+    n_cust = read_table(spark, sf_dir, "customer").count()
+    assert sum(out.values()) == n_cust  # histogram covers every customer
+    # the left join preserves customers with NO qualifying order: the 0
+    # bucket must equal customers absent from the filtered orders side
+    n_with_orders = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .join(read_table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select("c_custkey")
+        .distinct()
+        .count()
+    )
+    assert out.get(0, 0) == n_cust - n_with_orders
+
+
+def test_denylist_scrub_removes_all_hits(spark, sf_dir):
+    out = QUERIES["q68_denylist_scrub"](spark, sf_dir)
+    assert not has_python_eval(out)  # regexp stays JVM-side
+    leftover = out.where(
+        (F.col("n_hits") > 0) & F.col("scrubbed_head").rlike(r"\bspark\b")
+    )
+    # heads that still contain the term would mean replace wasn't global
+    assert leftover.count() == 0
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    out = QUERIES["q70_stratified_sample"](spark, sf_dir)
+    per_lang = {r.lang: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {
+        r.lang: r["n"]
+        for r in read_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in per_lang.items():
+        assert n == min(20, avail[lang]), (lang, n, avail[lang])

@@ -3,6 +3,7 @@
 from udacity_datalake_spark_spark.plans import (  # noqa: F401
     grouping,
     joins_extra,
+    pipeline_ops,
     relational,
     scalar,
     setops,

@@ -1,0 +1,272 @@
+"""Training-data pipeline operators: deterministic splits/sampling,
+sessionization, exact quantiles, denylist scrubbing, embedding
+column statistics.
+
+The reference (a star-schema ETL; SURVEY.md §2) has none of these — they
+are the operations a large-scale LLM training-data pipeline needs on top
+of the relational surface.  Every operator here is designed map-side-first
+for 100 TB:
+
+- splits/samples key on md5 of a stable id — pure map work, no shuffle
+  beyond the final (tiny) aggregate, and the assignment is reproducible
+  across runs, engines, partitionings, and scale factors (no RNG state);
+- sessionization is ONE hash exchange on user_id, then in-partition
+  window work (lag → flag → prefix-sum → grouped agg all inside the same
+  partitioning — Catalyst reuses a single Exchange);
+- quantiles use the exact interpolating percentile (Spark `percentile` ==
+  DuckDB `quantile_cont` on DOUBLE); at 100 TB swap to
+  `approx_percentile` with a documented error bound — q22 covers the
+  sketch path;
+- scrubbing is regexp work inside whole-stage codegen (JVM, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+
+def _md5_bucket(col: str) -> F.Column:
+    """First two hex chars of md5(id) — a stable 256-bucket hash both
+    engines compute identically (md5 of the decimal string form)."""
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+
+
+@query(
+    "q64_hash_split",
+    oracle="""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+        SELECT CASE WHEN h < 'cd' THEN 'train'
+                    WHEN h < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               n_chars
+        FROM (SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+                     n_chars
+              FROM documents)
+    )
+    GROUP BY split
+    """,
+)
+def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) by md5(doc_id) hex
+    prefix: 'cd' = 205/256, 'e6' = 230/256.  Pure map-side assignment —
+    no RNG, no shuffle, identical membership at any scale or partitioning;
+    a new data drop lands in the same splits as the old rows."""
+    d = read_table(spark, sf_dir, "documents")
+    h = _md5_bucket("doc_id")
+    split = (
+        F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "q65_sessionize",
+    oracle="""
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(us) - min(us) AS duration_us
+    FROM (
+        SELECT user_id, ts, us,
+               sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                     lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS prev_us
+              FROM events)
+    )
+    GROUP BY user_id, session_seq
+    """,
+)
+def q65_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap: lag → new-
+    session flag → running sum (session number) → per-session aggregate.
+    All four steps share the user_id hash partitioning, so Catalyst plans
+    exactly ONE Exchange; time math is integer microseconds (no float
+    drift).  Streaming twin: q54 (`session_window`)."""
+    e = read_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            us.alias("us"),
+            F.sum(new_session).over(run).alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+    )
+
+
+@query(
+    "q66_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50), 6) AS p50,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q66_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating percentiles per group (Spark `percentile` and
+    DuckDB `quantile_cont` share the (n-1)*p linear-interpolation
+    definition).  Exact percentile materializes per-group value lists —
+    correct here, memory-bound at 100 TB; the sketch path for scale is
+    approx_percentile (t-digest), exercised by q22's HLL sibling."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile(q, F.lit(p)), 6).alias(name)
+            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
+        ]
+    )
+
+
+@query(
+    "q67_custdist",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q67_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-time residual filter, a
+    per-key count that must preserve zero-order customers (count(col)
+    skips the nulls the outer join manufactures), then a histogram of the
+    counts.  First aggregate rides the join's o_custkey partitioning; the
+    second groups ~100 distinct counts — negligible exchange."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q68_denylist_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\b(spark|secret)\b')) AS n_hits,
+           length(regexp_replace(text, '\b(spark|secret)\b', '<redacted>', 'g'))
+               AS scrubbed_len,
+           substring(regexp_replace(text, '\b(spark|secret)\b', '<redacted>', 'g'),
+                     1, 80) AS scrubbed_head
+    FROM documents
+    """,
+)
+def q68_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist/PII-style scrubbing: count + redact term matches in one
+    pass.  Pure JVM regexp inside whole-stage codegen (Spark
+    regexp_replace is replace-ALL; the oracle needs DuckDB's 'g' flag for
+    the same semantics) — embarrassingly parallel at any scale."""
+    d = read_table(spark, sf_dir, "documents")
+    pat = r"\b(spark|secret)\b"
+    scrubbed = F.regexp_replace("text", pat, "<redacted>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias("n_hits"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.substring(scrubbed, 1, 80).alias("scrubbed_head"),
+    )
+
+
+@query(
+    "q69_embedding_dim_stats",
+    oracle="""
+    SELECT pos,
+           CAST(sum(CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(12,7)))
+                AS DOUBLE) / count(*) AS mean_component,
+           round(min(CAST(embedding[pos + 1] AS DOUBLE)), 4) AS min_component,
+           round(max(CAST(embedding[pos + 1] AS DOUBLE)), 4) AS max_component
+    FROM embeddings, (SELECT unnest(range(0, 64)) AS pos)
+    WHERE pos < len(embedding)
+    GROUP BY pos
+    """,
+)
+def q69_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    mean/min/max a whitening or normalization stage needs.  posexplode is
+    a generator inside codegen (no shuffle until the 64-group aggregate);
+    the mean accumulates in DECIMAL so the result is bit-stable under any
+    partitioning, then surfaces as one double divide.  DuckDB 1.0 lacks
+    UNNEST WITH ORDINALITY, so the oracle cross-joins a 0..63 range and
+    1-indexes with [pos + 1]."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("pos", "component"))
+    comp = F.col("component").cast("double")
+    return exploded.groupBy("pos").agg(
+        (F.sum(comp.cast("decimal(12,7)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_component"
+        ),
+        F.round(F.min(comp), 4).alias("min_component"),
+        F.round(F.max(comp), 4).alias("max_component"),
+    )
+
+
+@query(
+    "q70_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 20 docs per language,
+    chosen by md5 order — statistically uniform within each stratum yet
+    fully reproducible (same rows every run/engine/partitioning, unlike
+    `sampleBy`, whose per-partition RNG changes with the split layout).
+    One hash exchange on lang; at 100 TB with few strata, pre-filter by a
+    coarse md5-prefix band first so the per-stratum sort touches a sliver
+    of the data."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+    )
