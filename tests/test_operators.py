@@ -104,3 +104,57 @@ def test_range_band_join_matches_naive_and_handles_overlap(spark):
     got = {(r.val, r.name) for r in bucketed.collect()}
     assert (5000.0, "mid") in got and (5000.0, "lo") in got  # 5000 in [0,10000) too
     assert (19999.0, "mid") in got and (7500.0, "lo") in got and (7500.0, "mid") in got
+
+
+def test_connected_components_known_graph(spark):
+    """Two components (a 4-clique chain and a pair) + min-label choice."""
+    from udacity_datalake_spark_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (4, 1)], ["src", "dst"]
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs multiple propagation rounds — exercises the
+    convergence loop, not just one-hop graphs."""
+    from udacity_datalake_spark_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], ["src", "dst"]
+    )
+    rows = connected_components(edges).collect()
+    assert {r.component for r in rows} == {100}
+    assert len(rows) == 12
+
+
+def test_dq_report_counts_planted_violations(spark):
+    from udacity_datalake_spark_spark.operators.quality import (
+        dq_report,
+        is_null,
+        not_between,
+        not_in,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 5.0, "A", "x"),
+            (1, 1, 5.0, "A", "x"),     # dup pk
+            (2, 1, 99.0, "A", "x"),    # out of range
+            (3, 1, 5.0, "Z", "x"),     # bad domain
+            (4, 1, 5.0, "A", None),    # null
+        ],
+        ["k1", "k2", "qty", "flag", "req"],
+    )
+    row = dq_report(
+        df,
+        rules={
+            "bad_qty": not_between("qty", 0, 50),
+            "bad_flag": not_in("flag", ["A", "B"]),
+            "null_req": is_null("req"),
+        },
+        unique_keys=["k1", "k2"],
+    ).collect()[0]
+    assert (row.n_rows, row.bad_qty, row.bad_flag, row.null_req, row.dup_pk) == (5, 1, 1, 1, 1)

@@ -188,3 +188,41 @@ def test_rate_source_produces_rows(spark):
     assert rows and sorted(r.columns) == ["timestamp", "value"]
     vals = sorted(r_.value for r_ in rows)
     assert vals == list(range(vals[0], vals[0] + len(vals)))  # gapless
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """The q71 interval join run as a watermarked stream-stream join over
+    two filtered streams of the same source equals the batch result."""
+    from udacity_datalake_spark_spark.operators.joins import interval_join
+
+    def sides(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        errors = df.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        return clicks, errors
+
+    schema = _batch_schema(spark, events_dir)
+    # single micro-batch so no genuinely-late row is dropped by the
+    # watermark (late-drop semantics proven in test_watermark_drops_late_rows)
+    s_clicks, s_errors = sides(read_parquet_stream(spark, events_dir, schema))
+    streamed = run_available_now(
+        interval_join(
+            s_clicks, s_errors, "c_user", "e_user", "click_ts", "error_ts", "10 minutes"
+        ),
+        "t_interval_join",
+        output_mode="append",
+    )
+    b_clicks, b_errors = sides(spark.read.parquet(events_dir))
+    batch = interval_join(
+        b_clicks, b_errors, "c_user", "e_user", "click_ts", "error_ts", "10 minutes"
+    )
+    cols = ["click_id", "error_id", "c_user", "click_ts", "error_ts"]
+    assert _as_sorted_rows(streamed, cols) == _as_sorted_rows(batch, cols)
+    assert streamed.count() > 0

@@ -140,3 +140,36 @@ def range_band_join(
         .where((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
         .drop("__bucket")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "10 minutes",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Event-to-event interval join: pairs where the right event lands in
+    ``[left_ts, left_ts + upper]`` for the same key.  Column names on the
+    two sides must be disjoint (rename before calling) — that keeps the
+    self-join unambiguous in both batch and streaming mode.
+
+    On streaming inputs this is Spark's watermarked stream-stream join:
+    the time-range condition bounds each side's state to the watermark
+    horizon, so state is reclaimed instead of growing without bound —
+    the property that makes the join runnable on an unbounded 100 TB/day
+    stream.  On batch inputs the same condition plans as an equi-join on
+    the key with the range as a residual filter (never a nested loop).
+    """
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how)

@@ -270,3 +270,100 @@ def q70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= 20)
     )
+
+
+@query(
+    "q72_dq_report",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                    THEN 0 ELSE 1 END) AS bad_quantity,
+           sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                    THEN 0 ELSE 1 END) AS bad_discount,
+           sum(CASE WHEN l_tax >= 0 AND l_tax <= 0.08
+                    THEN 0 ELSE 1 END) AS bad_tax,
+           sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                    THEN 0 ELSE 1 END) AS bad_returnflag,
+           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk
+    FROM lineitem
+    """,
+)
+def q72_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators.quality.dq_report): six
+    expectations — range, domain, null, and primary-key uniqueness —
+    compiled into ONE aggregate pass over the fact table.  The report is
+    the admission check a training-data ingest runs before a drop is
+    merged; at 100 TB it costs a single scan regardless of rule count."""
+    from udacity_datalake_spark_spark.operators.quality import (
+        dq_report,
+        is_null,
+        not_between,
+        not_in,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return dq_report(
+        li,
+        rules={
+            "bad_quantity": not_between("l_quantity", 1, 50),
+            "bad_discount": not_between("l_discount", 0.0, 0.1),
+            "bad_tax": not_between("l_tax", 0.0, 0.08),
+            "bad_returnflag": not_in("l_returnflag", ["A", "N", "R"]),
+            "null_shipdate": is_null("l_shipdate"),
+        },
+        unique_keys=["l_orderkey", "l_linenumber"],
+    )
+
+
+@query(
+    "q73_dup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(arr) - 1),
+                         i -> array_to_string(arr[i:i+2], ' ')))) AS shingle
+           FROM t WHERE len(arr) >= 3),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    near AS (SELECT p.d1, p.d2
+             FROM pairs p
+             JOIN sz sa ON p.d1 = sa.doc_id
+             JOIN sz sb ON p.d2 = sb.doc_id
+             WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.6),
+    edges AS (SELECT d1 AS node, d2 AS nbr FROM near
+              UNION SELECT d2, d1 FROM near),
+    cc(node, lbl) AS (
+        SELECT DISTINCT node, node FROM edges
+        UNION
+        SELECT e.nbr, cc.lbl FROM cc JOIN edges e ON cc.node = e.node
+    ),
+    labels AS (SELECT node AS doc_id, min(lbl) AS component FROM cc GROUP BY node)
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size
+    FROM labels
+    """,
+)
+def q73_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: pairwise 3-gram Jaccard hits (the q45
+    edge set) closed under transitivity by distributed connected
+    components (operators.graph.connected_components), labeling each doc
+    with its component's min doc_id — the canonical keeper a dedup pass
+    retains.  The oracle reproduces the clustering with a recursive CTE;
+    both sides agree exactly because the edge set is oracle-matched
+    (q45/q46) and min-label CC is deterministic."""
+    from udacity_datalake_spark_spark.operators.dedup import ngram_jaccard_pairs
+    from udacity_datalake_spark_spark.operators.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    labels = connected_components(edges, src="d1", dst="d2")
+    w = Window.partitionBy("component")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -170,3 +170,44 @@ def q62_timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.select(F.lit("1 hour").alias("grain"), *out_cols[1:])
         .unionByName(daily.select(F.lit("1 day").alias("grain"), *out_cols[1:]))
     )
+
+
+@query(
+    "q71_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS error_id,
+           a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'error'
+    """,
+)
+def q71_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→error correlation within 10 minutes per user — the
+    stream-stream-join shape (operators.joins.interval_join).  The same
+    builder runs as a watermarked streaming join, proven equivalent to
+    this batch result in tests/test_streaming.py."""
+    from udacity_datalake_spark_spark.operators.joins import interval_join
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+    )
+    out = interval_join(
+        clicks, errors, "c_user", "e_user", "click_ts", "error_ts", upper="10 minutes"
+    )
+    return out.select(
+        "click_id",
+        "error_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
