@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from udacity_datalake_spark_spark.catalog import register_tables, sql
 from udacity_datalake_spark_spark.session import s3a_conf
 
@@ -75,3 +77,93 @@ def test_dynamic_partition_overwrite_is_incremental(spark, sf_dir, tmp_path):
             assert after[r.event_type] == clicks_subset.count() != r["count"]
         else:
             assert after[r.event_type] == r["count"]  # untouched partitions survive
+
+
+def test_clustered_write_produces_tight_rowgroup_stats(spark, sf_dir, tmp_path):
+    """Range-clustering on user_id must leave each file covering a narrow
+    user_id band (parquet footer min/max), so selective reads skip files;
+    an unclustered write leaves every file spanning ~the full domain."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from udacity_datalake_spark_spark.sources.readers import read_table
+    from udacity_datalake_spark_spark.sources.writers import write_clustered_parquet, write_parquet
+
+    ev = read_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    domain = hi - lo
+
+    clustered, flat = str(tmp_path / "clustered"), str(tmp_path / "flat")
+    write_clustered_parquet(ev, clustered, ["user_id"], target_files=8)
+    write_parquet(ev.repartition(8), flat, target_files=8)
+
+    def spans(path):
+        out = []
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("user_id")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min), maxs.append(st.max)
+            out.append(max(maxs) - min(mins))
+        return out
+
+    clustered_spans, flat_spans = spans(clustered), spans(flat)
+    assert max(clustered_spans) < domain * 0.5, clustered_spans  # tight bands
+    assert min(flat_spans) > domain * 0.9, flat_spans  # hash write spans all
+    # clustering preserved every row
+    assert spark.read.parquet(clustered).count() == ev.count()
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from udacity_datalake_spark_spark.sources.readers import read_orc, read_table
+    from udacity_datalake_spark_spark.sources.writers import write_orc
+
+    ev = read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path, partition_by=["event_type"])
+    back = read_orc(spark, path)
+    assert back.count() == ev.count()
+    assert set(back.columns) == set(ev.columns)  # partition col recovered
+
+
+def test_csv_feed_explicit_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from udacity_datalake_spark_spark.sources.readers import read_csv_feed
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id,name,score\n1,a,1.5\n2,b,2.5\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = read_csv_feed(spark, str(p), schema)
+    assert df.schema == schema
+    assert df.count() == 2
+
+
+def test_observed_metrics_single_pass(spark, sf_dir, tmp_path):
+    """Metrics come from the SAME job that writes the data — no second
+    scan — and must agree with independently computed values."""
+    from udacity_datalake_spark_spark.operators.metrics import observed
+    from udacity_datalake_spark_spark.sources.readers import read_table
+    from udacity_datalake_spark_spark.sources.writers import write_parquet
+
+    ev = read_table(spark, sf_dir, "events")
+    inst, obs = observed(
+        ev,
+        "write_audit",
+        n_rows=F.count(F.lit(1)),
+        null_props=F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)),
+        max_value=F.max("value"),
+    )
+    write_parquet(inst, str(tmp_path / "observed_out"))
+    got = obs.get
+    assert got["n_rows"] == ev.count()
+    assert got["null_props"] == ev.where(F.col("props").isNull()).count()
+    assert got["max_value"] == ev.agg(F.max("value")).first()[0]

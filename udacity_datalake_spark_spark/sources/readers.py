@@ -73,3 +73,27 @@ def read_json_feed(
     inference-decided types.
     """
     return spark.read.schema(schema).option("multiLine", multiline).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan with partition discovery (columnar alternative to the
+    parquet path; same pushdown/pruning behavior in Catalyst)."""
+    return spark.read.orc(path)
+
+
+def read_csv_feed(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV feed with an explicit schema — like ``read_json_feed``, never
+    inference (which costs an extra full scan and guesses types)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )

@@ -83,3 +83,41 @@ def compact_parquet(
     df = spark.read.parquet(src_path)
     df.repartition(n).write.mode("overwrite").parquet(dst_path)
     return n
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    target_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet: rows range-partitioned across files and
+    sorted within them on ``cluster_by``.
+
+    Every parquet footer then carries tight, near-disjoint min/max stats
+    for the cluster columns, so a selective read skips whole files and
+    row groups instead of scanning them — the zone-map/Z-order play for
+    100 TB tables whose hot predicates are known (ship a fact table
+    clustered by date, read one day = touch ~1/365th of the files).
+    `repartitionByRange` samples the data to build balanced range bounds,
+    so skew in the cluster key doesn't produce jumbo files.
+    """
+    n = target_files or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    df = df.repartitionByRange(int(n), *cluster_by).sortWithinPartitions(*cluster_by)
+    df.write.mode(mode).parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (built into Spark — no extra jars): same layout options
+    as the parquet writer, for stacks standardized on ORC."""
+    if partition_by:
+        df = df.repartition(*partition_by)
+        df.write.mode(mode).partitionBy(*partition_by).orc(path)
+    else:
+        df.write.mode(mode).orc(path)
