@@ -39,6 +39,11 @@ HEADLINE = [
     "q40_dedup_exact",
     "q44_fingerprint",
     "q52_tumbling_window",
+    # training-data pipeline ops
+    "q64_hash_split",
+    "q65_sessionize",
+    "q71_interval_join",
+    "q72_dq_report",
 ]
 
 

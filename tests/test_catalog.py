@@ -167,3 +167,59 @@ def test_observed_metrics_single_pass(spark, sf_dir, tmp_path):
     assert got["n_rows"] == ev.count()
     assert got["null_props"] == ev.where(F.col("props").isNull()).count()
     assert got["max_value"] == ev.agg(F.max("value")).first()[0]
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    from udacity_datalake_spark_spark.sources.readers import read_table
+    from udacity_datalake_spark_spark.sources.writers import (
+        upsert_partitioned_parquet,
+        write_parquet,
+    )
+
+    path = str(tmp_path / "events_upsert")
+    ev = read_table(spark, sf_dir, "events")
+    write_parquet(ev, path, partition_by=["event_type"])
+    before = spark.read.parquet(path)
+    n_before = before.count()
+
+    # replace two existing events (keeping their partition value — a
+    # partition-scoped upsert doesn't chase keys across partitions) and
+    # add one brand-new event
+    r0, r1 = ev.where("event_id IN (0, 1)").orderBy("event_id").collect()
+    touched = {r0.event_type, r1.event_type}
+    untouched_before = sorted(
+        str(r) for r in before.where(~F.col("event_type").isin(*touched)).collect()
+    )
+    upd = spark.createDataFrame(
+        [(0, r0.ts, 999, r0.event_type, 1.0, None),
+         (1, r1.ts, 999, r1.event_type, 2.0, None),
+         (10_000_000, r0.ts, 999, r0.event_type, 3.0, None)],
+        schema=ev.schema,
+    )
+    upsert_partitioned_parquet(spark, path, upd, keys=["event_id"], partition_by=["event_type"])
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_before + 1  # 2 replaced in place, 1 inserted
+    got = {r.event_id: r.user_id for r in after.where(F.col("user_id") == 999).collect()}
+    assert set(got) == {0, 1, 10_000_000}
+    # rows of other partitions byte-identical (never rewritten logically)
+    untouched_after = sorted(
+        str(r) for r in after.where(~F.col("event_type").isin(*touched)).collect()
+    )
+    assert untouched_after == untouched_before
+
+
+def test_chunk_udtf_matches_builtin(spark, sf_dir):
+    from udacity_datalake_spark_spark.operators.chunking import ChunkUdtf, chunk_documents
+    from udacity_datalake_spark_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").limit(50)
+    builtin = chunk_documents(d)
+    spark.udtf.register("chunk_udtf", ChunkUdtf)
+    d.createOrReplaceTempView("__chunk_src")
+    via_udtf = spark.sql(
+        "SELECT s.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM __chunk_src s, LATERAL chunk_udtf(s.text) c"
+    )
+    key = lambda r: (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+    assert sorted(map(key, builtin.collect())) == sorted(map(key, via_udtf.collect()))

@@ -367,3 +367,29 @@ def q73_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+@query(
+    "q76_chunk_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    c AS (SELECT doc_id, arr,
+                 unnest(range(0, CAST(ceil(len(arr) / 40.0) AS BIGINT)))
+                     AS chunk_idx
+          FROM t)
+    SELECT doc_id, chunk_idx,
+           array_to_string(arr[chunk_idx * 40 + 1 : chunk_idx * 40 + 40], ' ')
+               AS chunk_text,
+           least(40, len(arr) - chunk_idx * 40) AS n_tokens
+    FROM c
+    """,
+)
+def q76_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: each document split into consecutive
+    40-token chunks (operators.chunking.chunk_documents) — split/
+    sequence/explode/slice built-ins only, fully inside codegen; the
+    Python-UDTF twin exists for tokenizers built-ins can't express and is
+    proven row-identical in tests."""
+    from udacity_datalake_spark_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(read_table(spark, sf_dir, "documents"))

@@ -61,3 +61,48 @@ def q63_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation best-balance suppliers via a correlated scalar subquery
     (TPC-H Q2's shape) — same SQL text on both engines."""
     return sql(spark, sf_dir, _MAX_BAL_SQL)
+
+
+# TPC-H Q4 shape — correlated EXISTS: Catalyst rewrites the subquery to a
+# left-semi join (RewritePredicateSubquery); DuckDB plans the same
+# flattening.  Distinct decorrelation path from q63's scalar subquery.
+_EXISTS_AGG_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@query("q74_exists_agg", oracle=_EXISTS_AGG_SQL)
+def q74_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS over the fact table feeding an aggregate (TPC-H
+    Q4's shape) — planned as a left-semi join on both engines, so the
+    lineitem side never widens the orders rows."""
+    return sql(spark, sf_dir, _EXISTS_AGG_SQL)
+
+
+# TPC-H Q16 shape — NOT IN subquery (null-aware anti join) + multi-key
+# count-distinct aggregate.  NOT IN's three-valued-logic null semantics
+# are the classic correctness trap; both engines must agree exactly.
+_NOT_IN_SQL = """
+SELECT p_type, p_size, count(DISTINCT s_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size IN (1, 14, 23, 45)
+  AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_type, p_size
+"""
+
+
+@query("q75_not_in_distinct", oracle=_NOT_IN_SQL)
+def q75_not_in_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (null-aware anti join) filtering a 3-way join into a
+    count-distinct aggregate (TPC-H Q16's shape)."""
+    return sql(spark, sf_dir, _NOT_IN_SQL)

@@ -121,3 +121,39 @@ def write_orc(
         df.write.mode(mode).partitionBy(*partition_by).orc(path)
     else:
         df.write.mode(mode).orc(path)
+
+
+def upsert_partitioned_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+) -> None:
+    """Key-level upsert (MERGE) into a Hive-partitioned parquet table
+    without a transaction log: rows in ``updates`` replace same-key rows,
+    other rows survive — and only the partitions the updates touch are
+    rewritten.
+
+    Mechanics: semi-join the target to the affected partition values
+    (partition pruning keeps the read to those directories), anti-join
+    out the superseded keys, union the updates, and let
+    ``partitionOverwriteMode=dynamic`` (session default) replace just
+    those directories.  Untouched partitions are never read or written —
+    at 100 TB the cost scales with the update's partition footprint, not
+    the table.  The staged frame is materialized (localCheckpoint) before
+    the write because Spark refuses an overwrite whose plan still reads
+    the same path lazily.
+    """
+    tgt = spark.read.parquet(path)
+    cols = tgt.columns
+    parts = updates.select(*partition_by).distinct()
+    affected = tgt.join(parts, list(partition_by), "left_semi")
+    survivors = affected.join(updates.select(*keys).distinct(), list(keys), "left_anti")
+    staged = (
+        survivors.select(*cols)
+        .unionByName(updates.select(*cols))
+        .repartition(*partition_by)
+        .localCheckpoint(eager=True)
+    )
+    staged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
