@@ -228,8 +228,11 @@ def q61_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped 6-way join (the widest plan in the surface):
     fact lineitem joined through orders→customer and supplier, with the
     local-supplier colocation predicate c_nationkey = s_nationkey, dims
-    broadcast and the date filter pushed into the orders scan.  Catalyst
-    reorders; AQE resizes the two fact shuffles at runtime."""
+    broadcast and the date filter pushed into the orders scan.  Only
+    nation/region get broadcast hints (tiny at any SF) — customer and
+    supplier grow with SF, so their join strategy is left to AQE, which
+    broadcasts at runtime when the post-filter size allows and falls back
+    to shuffle hash join at 100 TB.  AQE resizes the fact shuffles."""
     li = read_table(spark, sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     o = read_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).where(
@@ -244,8 +247,8 @@ def q61_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

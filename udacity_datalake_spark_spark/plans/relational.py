@@ -249,11 +249,14 @@ def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_multi_hop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-shaped star join: fact → orders → customer → nation →
-    region.  The three dimension joins broadcast (nation/region are tiny,
-    filtered customer is small relative to the fact side), so only the
-    lineitem⋈orders join shuffles; Catalyst + AQE pick that up from the
-    size stats, with explicit hints on the sure-thing dims."""
+    """TPC-H-Q5-shaped star join, built dims-first so the fact table is
+    touched last: region('ASIA') ⋈ nation ⋈ customer collapses to a
+    (c_custkey, n_name) map (nation/region broadcast — always tiny at any
+    SF), that map reduces the date-filtered orders ~16× *before* the
+    lineitem join, so the one unavoidable fact-side shuffle joins against
+    the smallest possible build side.  No broadcast hint on customer or
+    orders — at 100 TB neither fits; AQE converts to broadcast at runtime
+    whenever the reduced side is actually small."""
     l = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -262,12 +265,15 @@ def q10_multi_hop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    o_red = o.join(dims, o.o_custkey == dims.c_custkey).select("o_orderkey", "n_name")
     revenue = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        l.join(o_red, l.l_orderkey == o_red.o_orderkey)
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc())
