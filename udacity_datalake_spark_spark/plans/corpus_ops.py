@@ -1,0 +1,376 @@
+"""Corpus-curation operators for LLM training data: repetition-based
+quality rules, PII redaction, benchmark-contamination checks, temperature
+source mixing, and the deterministic global shuffle.
+
+The reference (a star-schema ETL; SURVEY.md §2) has none of these — they
+are the curation stages a 100 TB text pipeline runs between raw crawl and
+tokenizer.  Scale posture, per operator:
+
+- repetition metrics (q77) compute the array-side statistics (word count,
+  distinct-word fraction) entirely inside whole-stage codegen with zero
+  shuffle; only the top-bigram mode needs an explode + two-level hash
+  aggregate, which is map-combined and keyed by doc_id (no hot keys —
+  each document is its own group);
+- PII scrub (q78) is pure regexp map work in codegen; truth is synthesized
+  in-query (one known email appended per doc) so redaction counts are
+  exactly checkable;
+- contamination (q79) joins corpus shingles against a *benchmark* shingle
+  set — benchmark suites are small (thousands of documents) at any corpus
+  scale, so the distinct benchmark-gram side is the canonical broadcast
+  build side; the corpus side never shuffles;
+- temperature mixing (q80) keeps per-source rate decisions in pure int64
+  arithmetic (h²·n_s < n_min·2^40 ⟺ u² < n_min/n_s with u = h/2^20) so
+  membership is bit-identical across engines, partitionings, and scale —
+  no float pow() at the keep/drop boundary, no RNG state;
+- the global shuffle (q83) orders by a multiplicative hash of the stable
+  id: reproducible epoch ordering without materializing a permutation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.functions.numeric import dec
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+# Knuth's multiplicative hash constant; doc_id ≤ ~10^7 keeps the product
+# far below 2^63, so both engines compute the same int64 value.
+_MULT = 2654435761
+_UNIT = 1 << 20  # hash resolution: u = h / 2^20 ∈ [0, 1)
+
+
+@query(
+    "q77_repetition_metrics",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                         / len(words), 6) AS dup_word_frac,
+               list_transform(range(1, len(words)),
+                              i -> words[i] || ' ' || words[i + 1]) AS bigrams
+        FROM w
+    ),
+    top AS (
+        SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams
+        FROM (SELECT doc_id, bigram, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM base)
+              GROUP BY doc_id, bigram)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words, b.dup_word_frac,
+           round(CAST(t.top_cnt AS DOUBLE) / t.n_bigrams, 6) AS top_bigram_frac
+    FROM base b JOIN top t ON b.doc_id = t.doc_id
+    """,
+)
+def q77_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics per document: word count,
+    duplicate-word fraction, and the fraction of all word-bigrams taken by
+    the single most frequent bigram.  The scalar metrics are array
+    functions in codegen (no shuffle); the bigram mode is
+    explode → (doc_id, bigram) count → (doc_id) max — both aggregates
+    map-combine and key on doc_id, so there is exactly one exchange and no
+    skew (every doc is its own group)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    base = d.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("words")).cast("double") / F.size("words"),
+            6,
+        ).alias("dup_word_frac"),
+        F.expr(
+            "transform(sequence(1, size(words) - 1),"
+            " i -> concat(words[i - 1], ' ', words[i]))"
+        ).alias("bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        F.round(F.col("top_cnt").cast("double") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+@query(
+    "q78_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com now', '{_EMAIL_RE}')) AS n_emails,
+           length(regexp_replace(text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com now', '{_EMAIL_RE}', '<EMAIL>', 'g')) AS scrubbed_len
+    FROM documents
+    """,
+)
+def q78_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email-PII redaction over the documents table.  Ground truth is
+    synthesized in-query (exactly one deterministic address appended per
+    document), so the count of detections and the post-redaction length
+    are exactly verifiable.  Pure regexp map work inside whole-stage
+    codegen — no shuffle, no Python; at 100 TB this is the cheapest kind
+    of full-corpus pass there is."""
+    d = read_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com now"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(with_pii, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.length(F.regexp_replace(with_pii, _EMAIL_RE, "<EMAIL>")).alias(
+            "scrubbed_len"
+        ),
+    )
+
+
+@query(
+    "q79_contamination",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS gram
+        FROM w
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id,
+           count(DISTINCT g.gram) AS n_overlap
+    FROM grams g JOIN bench b ON g.gram = b.gram
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def q79_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: word-trigram overlap between each
+    corpus document and a benchmark set (here: doc_id % 97 = 0 stands in
+    for the eval suite).  The benchmark's distinct shingle set is small at
+    any corpus scale — it is broadcast, so the 100 TB corpus side is
+    scanned once with zero shuffle before the per-doc count aggregate."""
+    grams = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 2),"
+                    " i -> concat(words[i - 1], ' ', words[i], ' ', words[i + 1]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_overlap"))
+    )
+
+
+@query(
+    "q80_temperature_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ),
+    lo AS (SELECT min(n_s) AS n_min FROM counts),
+    keep AS (
+        SELECT d.source
+        FROM documents d
+        JOIN counts c ON d.source = c.source
+        CROSS JOIN lo
+        WHERE (d.doc_id * {_MULT}) % {_UNIT}
+              * ((d.doc_id * {_MULT}) % {_UNIT}) * c.n_s
+              < lo.n_min * {_UNIT}::BIGINT * {_UNIT}::BIGINT
+    )
+    SELECT c.source, c.n_s AS n_total, count(k.source) AS n_kept
+    FROM counts c LEFT JOIN keep k ON c.source = k.source
+    GROUP BY c.source, c.n_s
+    """,
+)
+def q80_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5): downsample each
+    source s at rate sqrt(n_min / n_s) so the kept mix follows
+    n_s^alpha — the standard multilingual/multi-source rebalance.  The
+    keep decision u < sqrt(n_min/n_s) is evaluated as
+    h²·n_s < n_min·2^40 with h = (doc_id·2654435761) mod 2^20: pure int64
+    arithmetic, so membership is bit-identical across engines and scales,
+    and a rerun (or a late-arriving shard) keeps exactly the same rows.
+    Per-source counts are one tiny aggregate broadcast back onto the
+    corpus scan — the 100 TB side is never shuffled."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    h = (F.col("doc_id") * _MULT) % _UNIT
+    kept = (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(n_min))
+        .where(h * h * F.col("n_s") < F.col("n_min") * F.lit(_UNIT) * F.lit(_UNIT))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_s").alias("n_total"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "q81_disjunctive_join",
+    oracle="""
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 35
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q81_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate join: an OR of three
+    brand/size/quantity conjuncts over lineitem ⋈ part.  Because the
+    equi-key l_partkey = p_partkey appears in every disjunct, this stays a
+    single hash equi-join with the OR as a residual filter — never a
+    nested-loop join (contrast the reference's J2, whose OR spans the join
+    *keys* themselves; reference etl.py:147-151).  The disjunct-union
+    bounds (brand ∈ {12,23,11}, quantity ∈ [1,30]) are strengthened into
+    both scans explicitly so parquet row-group stats prune before the
+    join."""
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).where(F.col("l_quantity").between(1, 30))
+    p = read_table(
+        spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    ).where(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#11"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    revenue = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q82_anti_scalar_subquery",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q82_anti_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: customers with above-average positive balance and
+    no urgent orders — a scalar aggregate subquery (one-row DataFrame
+    broadcast as a cross join, the canonical Spark idiom for scalar
+    subqueries) feeding a left anti join.  Both the 1-row broadcast and
+    the anti join's build side stay small at any SF; the big sides stream
+    through map-side."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q83_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           (doc_id * {_MULT}) % {_UNIT} % 64 AS shard,
+           row_number() OVER (
+               PARTITION BY (doc_id * {_MULT}) % {_UNIT} % 64
+               ORDER BY (doc_id * {_MULT}) % {_UNIT}, doc_id) AS pos
+    FROM documents
+    """,
+)
+def q83_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data epoch ordering:
+    every document gets a (shard, pos) from a multiplicative hash of its
+    stable id — no RNG state, no materialized permutation, identical
+    order on rerun or partial re-ingest.  Spark executes this as one hash
+    exchange on shard + an in-partition sort; in production the shard
+    count is sized to the writer parallelism (64 here) and each shard
+    becomes one output file via partitionBy — readers then interleave
+    shards for the epoch stream."""
+    d = read_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * _MULT) % _UNIT
+    shard = (h % 64).alias("shard")
+    w = Window.partitionBy(h % 64).orderBy(h, "doc_id")
+    return d.select(
+        "doc_id", shard, F.row_number().over(w).alias("pos")
+    )

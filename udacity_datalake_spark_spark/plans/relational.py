@@ -131,11 +131,13 @@ def q04_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: inner equi-join, dimension side broadcast (reference
-    etl.py:140 joins fact→dim on a string key; same physical shape)."""
+    """J1: inner equi-join, fact→dim on the dimension key (reference
+    etl.py:140 joins fact→dim; same logical shape).  No broadcast hint:
+    customer grows with SF, so strategy is left to Catalyst/AQE, which
+    broadcasts the filtered side at runtime only when it actually fits."""
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
         "o_orderkey", "c_name", "o_totalprice", "o_orderdate"
     )
 
