@@ -11,6 +11,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     similarity,
     sql_surface,
     streaming_queries,
+    tpch_extra,
     textops,
     windows,
 )
