@@ -30,6 +30,8 @@ HEADLINE = [
     "q10_multi_hop_join",
     "q11_groupby_agg",
     "q61_local_supplier_volume",
+    "q85_market_share",
+    "q91_large_volume_customers",
     # window / join-kind / scale-path surface
     "q13_topk_per_group",
     "q34_asof_join",
@@ -38,6 +40,7 @@ HEADLINE = [
     # LLM-pipeline + event-time surface
     "q40_dedup_exact",
     "q44_fingerprint",
+    "q77_repetition_metrics",
     "q52_tumbling_window",
     # training-data pipeline ops
     "q64_hash_split",

@@ -104,3 +104,27 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     # determinism: second run identical
     approx2 = {(r.qid, r.nid) for r in QUERIES["q60_ann_ivf"](spark, sf_dir).collect()}
     assert approx_set == approx2
+
+
+def test_hll_rollup_merge_equals_direct(spark, sf_dir):
+    """Unioning per-(lang, source) sketches must estimate the same
+    cardinality as sketching each lang directly (mergeability), and the
+    rollup must be deterministic across runs."""
+    rolled = {r.lang: r.approx_distinct_texts for r in QUERIES["q96_hll_rollup"](spark, sf_dir).collect()}
+    rolled2 = {r.lang: r.approx_distinct_texts for r in QUERIES["q96_hll_rollup"](spark, sf_dir).collect()}
+    assert rolled == rolled2, "HLL rollup must be deterministic"
+
+    d = read_table(spark, sf_dir, "documents")
+    direct = {
+        r.lang: r.est
+        for r in d.groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("text")).alias("est"))
+        .collect()
+    }
+    assert rolled == direct, "sketch union must equal direct sketching"
+
+    exact = {r.lang: r.n for r in d.groupBy("lang").agg(F.count_distinct("text").alias("n")).collect()}
+    for lang, est in rolled.items():
+        assert abs(est - exact[lang]) <= max(3, 0.05 * exact[lang]), (
+            f"{lang}: HLL estimate {est} too far from exact {exact[lang]}"
+        )

@@ -136,3 +136,31 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
     finally:
         for k, v in saved.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_tpch_extra_plans_have_no_nested_loops(spark, sf_dir):
+    """q84–q93 (TPC-H Q7/Q8/Q9/Q12/Q14/Q15/Q17/Q18/Q20/Q21 shapes): every
+    join must plan as a hash/merge join — a BroadcastNestedLoopJoin or
+    CartesianProduct here would be O(n·m) at 100 TB."""
+    names = [n for n in QUERIES if n[1:3].isdigit() and 84 <= int(n[1:3]) <= 93]
+    assert len(names) == 10
+    for name in names:
+        nodes = join_nodes(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in nodes, f"{name}: {nodes}"
+        assert "CartesianProduct" not in nodes, f"{name}: {nodes}"
+
+
+def test_market_share_broadcasts_all_dims(spark, sf_dir):
+    """q85's 8-table join: everything except lineitem ⋈ orders must
+    broadcast (part, supplier+nation, customer+nation+region)."""
+    nodes = join_nodes(QUERIES["q85_market_share"](spark, sf_dir))
+    assert nodes.count("BroadcastHashJoin") >= 3, nodes
+
+
+def test_repetition_metrics_has_no_exchange(spark, sf_dir):
+    """q77 is per-document — its physical plan must be map-only (the
+    array-side mode fold), with no shuffle and no Python eval."""
+    df = QUERIES["q77_repetition_metrics"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert not has_python_eval(df)

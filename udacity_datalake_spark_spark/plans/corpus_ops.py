@@ -71,11 +71,15 @@ _UNIT = 1 << 20  # hash resolution: u = h / 2^20 ∈ [0, 1)
 def q77_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics per document: word count,
     duplicate-word fraction, and the fraction of all word-bigrams taken by
-    the single most frequent bigram.  The scalar metrics are array
-    functions in codegen (no shuffle); the bigram mode is
-    explode → (doc_id, bigram) count → (doc_id) max — both aggregates
-    map-combine and key on doc_id, so there is exactly one exchange and no
-    skew (every doc is its own group)."""
+    the single most frequent bigram.
+
+    All three metrics are per-document, so NOTHING here shuffles: the
+    bigram mode is computed array-side as the longest run in the sorted
+    bigram array (array_sort + one aggregate fold), replacing the naive
+    explode → count → max → self-join plan that re-keys every bigram of
+    the corpus through two exchanges.  At 100 TB this is the difference
+    between a map-only scan and re-shuffling the entire tokenized corpus.
+    """
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("words")
     )
@@ -92,20 +96,25 @@ def q77_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat(words[i - 1], ' ', words[i]))"
         ).alias("bigrams"),
     )
-    top = (
-        base.select("doc_id", F.explode("bigrams").alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams"))
+    # Mode count of the array = longest run in the sorted array: one
+    # codegen fold, no explode, no exchange.
+    top_cnt = F.expr(
+        """
+        aggregate(
+          array_sort(bigrams),
+          named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run',  IF(x <=> acc.prev, acc.run + 1, 1L),
+            'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))),
+          acc -> acc.best)
+        """
     )
-    return base.join(top, "doc_id").select(
+    return base.select(
         "doc_id",
         "n_words",
         "dup_word_frac",
-        F.round(F.col("top_cnt").cast("double") / F.col("n_bigrams"), 6).alias(
-            "top_bigram_frac"
-        ),
+        F.round(top_cnt.cast("double") / F.size("bigrams"), 6).alias("top_bigram_frac"),
     )
 
 
@@ -373,4 +382,134 @@ def q83_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(h % 64).orderBy(h, "doc_id")
     return d.select(
         "doc_id", shard, F.row_number().over(w).alias("pos")
+    )
+
+
+@query(
+    "q94_duplicate_ngrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(arr) - 3),
+                        i -> array_to_string(arr[i:i+4], ' ')))) AS gram
+          FROM t WHERE len(arr) >= 5)
+    SELECT gram, count(*) AS df
+    FROM g
+    GROUP BY gram
+    HAVING count(*) >= 2
+    ORDER BY df DESC, gram
+    LIMIT 100
+    """,
+)
+def q94_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-gram detection — the corpus-level signal
+    behind exact-substring training-data dedup (boilerplate, licenses,
+    templated spam all surface here).  Per-document work (gram
+    construction + within-doc distinct) stays array-side in codegen; only
+    distinct (doc, gram) pairs reach the ONE exchange, keyed by gram.
+    Document frequency per gram is a map-combined count, so the shuffle
+    carries at most one row per (task, gram) — at 100 TB the exchange
+    volume is bounded by gram vocabulary, not corpus size.  Top-100 is
+    deterministic: df DESC tie-broken on the gram text."""
+    k = 5
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .where(F.size("words") >= k)
+    )
+    grams = d.select(
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {k - 1}),"
+                    f" i -> array_join(slice(words, i, {k}), ' '))"
+                )
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .orderBy(F.col("df").desc(), F.col("gram"))
+        .limit(100)
+    )
+
+
+@query(
+    "q95_dedup_corpus",
+    oracle="""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(arr) - 1),
+                         i -> array_to_string(arr[i:i+2], ' ')))) AS shingle
+           FROM t WHERE len(arr) >= 3),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    near AS (SELECT p.d1, p.d2
+             FROM pairs p
+             JOIN sz sa ON p.d1 = sa.doc_id
+             JOIN sz sb ON p.d2 = sb.doc_id
+             WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.6),
+    edges AS (SELECT d1 AS node, d2 AS nbr FROM near
+              UNION SELECT d2, d1 FROM near),
+    cc(node, lbl) AS (
+        SELECT DISTINCT node, node FROM edges
+        UNION
+        SELECT e.nbr, cc.lbl FROM cc JOIN edges e ON cc.node = e.node
+    ),
+    labels AS (SELECT node AS doc_id, min(lbl) AS component FROM cc GROUP BY node)
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> component)
+    """,
+)
+def q95_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup MATERIALIZATION: q45's Jaccard edge set →
+    q73's connected components → keep one canonical document (min doc_id)
+    per cluster, drop the rest via a left-anti join against the loser
+    set.  This is the full pipeline a curation run executes — detect,
+    cluster, and emit the deduplicated corpus — and the anti join is
+    broadcast-sized because losers ≪ corpus (only near-dup cluster
+    members, never the whole table)."""
+    from udacity_datalake_spark_spark.operators.dedup import ngram_jaccard_pairs
+    from udacity_datalake_spark_spark.operators.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    labels = connected_components(edges, src="d1", dst="d2")
+    losers = labels.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("loser")
+    )
+    return d.join(
+        F.broadcast(losers), F.col("doc_id") == F.col("loser"), "left_anti"
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
+@query("q96_hll_rollup")  # sketch bytes are engine-specific — rows-only check
+def q96_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(lang, source) HyperLogLog sketches of
+    document text, then lang-level distinct estimates by UNIONING the
+    sketches — never rescanning the data.  This is the 100 TB cardinality
+    pattern: partial sketches are built map-side in one pass and are
+    reusable for any coarser grouping (source → lang → corpus) at the
+    cost of a few KB per group; re-aggregation is sketch-union, not a
+    second corpus scan.  Engine-specific sketch encoding → rows-only
+    driver check; determinism + merge-equals-direct is asserted in
+    tests/test_llm_ops.py."""
+    d = read_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("text").alias("sk"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        per_source.groupBy("lang")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct_texts"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .orderBy("lang")
     )
