@@ -128,3 +128,14 @@ def test_hll_rollup_merge_equals_direct(spark, sf_dir):
         assert abs(est - exact[lang]) <= max(3, 0.05 * exact[lang]), (
             f"{lang}: HLL estimate {est} too far from exact {exact[lang]}"
         )
+
+
+def test_kmeans_clusters_deterministic_and_complete(spark, sf_dir):
+    """q103: seeded k-means must partition every vector exactly once and
+    produce identical cluster sizes on a rerun (fixed seed, no RNG state)."""
+    run1 = {r.cluster_id: (r.n_vectors, r.n_labels) for r in QUERIES["q103_embedding_clusters"](spark, sf_dir).collect()}
+    run2 = {r.cluster_id: (r.n_vectors, r.n_labels) for r in QUERIES["q103_embedding_clusters"](spark, sf_dir).collect()}
+    assert run1 == run2, "k-means assignment must be deterministic"
+    total = read_table(spark, sf_dir, "embeddings").count()
+    assert sum(n for n, _ in run1.values()) == total, "every vector in exactly one cluster"
+    assert len(run1) > 1, "more than one non-empty cluster expected"

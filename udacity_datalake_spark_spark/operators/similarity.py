@@ -277,3 +277,27 @@ def cosine_near_dup_pairs(
             )
 
     return corpus.mapInPandas(block, out_schema)
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded k-means cluster assignment: (id, cluster_id) per vector.
+
+    Reuses the IVF coarse quantizer (ivf_centroids — Lloyd iterations on
+    a bounded seeded sample, so training cost is constant in corpus
+    size), then one Arrow-batched matmul assignment pass over the corpus.
+    This is the document-clustering primitive for corpus curation
+    (topic-balanced mixing, per-cluster dedup/sampling) — deterministic
+    for a fixed seed, so cluster memberships are reproducible across
+    runs and partitionings.
+    """
+    centroids = ivf_centroids(corpus, vec_col, n_cells, seed=seed)
+    return corpus.select(
+        F.col(id_col),
+        F.explode(_cell_assign_udf(centroids, 1)(F.col(vec_col))).alias("cluster_id"),
+    )

@@ -2,6 +2,7 @@
 
 from udacity_datalake_spark_spark.plans import (  # noqa: F401
     corpus_ops,
+    curation_extra,
     grouping,
     joins_extra,
     pipeline_ops,
@@ -12,6 +13,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     sql_surface,
     streaming_queries,
     tpch_extra,
+    tpch_gaps,
     textops,
     windows,
 )

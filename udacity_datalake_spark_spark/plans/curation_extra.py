@@ -1,0 +1,207 @@
+"""Second wave of corpus-curation operators: TF-IDF distinctive terms,
+quality-weighted sampling, per-source outlier trimming, and embedding
+k-means clustering.
+
+Like plans/corpus_ops.py, nothing here exists in the reference (its
+workload is the two ETL pipelines at reference etl.py:23-173) — these
+are the remaining table-stakes operations of an LLM training-data
+pipeline, each designed for the 100 TB shape:
+
+- TF-IDF keeps both aggregations term-keyed with map-side combine; the
+  document-frequency side joins the term-frequency side on the term key
+  (both already reduced to vocabulary size, orders of magnitude smaller
+  than the token stream);
+- weighted sampling decides keep/drop in pure int64 rational arithmetic
+  (h·D < w·2^20) — the same no-float-boundary trick as q80, so
+  membership is bit-identical across engines, partitionings and reruns;
+- outlier trimming computes one exact per-source percentile (sketchable
+  via approx_percentile at scale, q22 covers that path) and broadcasts
+  the tiny threshold table back onto the corpus;
+- clustering trains on a bounded seeded sample (constant cost at any
+  corpus size) and assigns with one Arrow-batched matmul pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.operators.similarity import kmeans_assign
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+# Same multiplicative-hash uniform as corpus_ops: u = h/2^20 with
+# h = (doc_id * 2654435761) mod 2^20 — int64-exact on both engines.
+_MULT = 2654435761
+_UNIT = 1 << 20
+
+
+@query(
+    "q100_tfidf_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT lang, term, tf, df,
+               round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT lang, term, tf, df, tfidf
+    FROM (
+        SELECT lang, term, tf, df, tfidf,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    WHERE rn <= 5
+    """,
+)
+def q100_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most distinctive terms per language by TF-IDF
+    (idf = ln((N+1)/(df+1)) with corpus-level document frequency).
+
+    Two aggregations over the exploded token stream — (lang, term)
+    frequency and per-term document frequency — both with map-side
+    combine, then a term-keyed equi-join of two vocabulary-sized frames
+    (tiny next to the token stream they summarize).  Ranking rounds the
+    score to 6 decimals and tie-breaks on the term string, so the top-k
+    cut is deterministic on both engines.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df, "term").select(
+        "lang",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
+    "q101_quality_weighted_sample",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_total,
+           sum(CASE WHEN (d.doc_id * {_MULT}) % {_UNIT} * 400
+                         < least(n_chars, 400) * {_UNIT}
+                    THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN (d.doc_id * {_MULT}) % {_UNIT} * 400
+                         < least(n_chars, 400) * {_UNIT}
+                    THEN n_chars ELSE 0 END) AS kept_chars
+    FROM documents d
+    GROUP BY lang
+    """,
+)
+def q101_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sampling: keep each document with
+    probability w = min(n_chars, 400)/400 (longer docs up to the cap are
+    "higher quality" — stand-in for any per-doc weight column).
+
+    The keep test u < w is evaluated as h·400 < min(n_chars,400)·2^20
+    with h = (doc_id·2654435761) mod 2^20 — pure int64 rational
+    arithmetic, no float at the boundary, no RNG state.  Membership is a
+    pure function of doc_id, so reruns, engine swaps, and late-arriving
+    shards all sample identically.  Map-side only; the single exchange
+    is the final per-lang aggregate.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * _MULT) % _UNIT
+    keep = (h * 400 < F.least(F.col("n_chars"), F.lit(400)) * _UNIT).cast("long")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(keep).alias("n_kept"),
+        F.sum(keep * F.col("n_chars")).alias("kept_chars"),
+    )
+
+
+@query(
+    "q102_length_trim",
+    oracle="""
+    WITH thr AS (
+        SELECT source,
+               round(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 6) AS p99
+        FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           count(*) AS n_kept,
+           CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           max(thr.p99) AS p99_chars
+    FROM documents d
+    JOIN thr ON d.source = thr.source
+    WHERE CAST(d.n_chars AS DOUBLE) <= thr.p99
+    GROUP BY d.source
+    """,
+)
+def q102_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source outlier trimming: drop documents above the source's
+    p99 length (truncation-style curation against extraction blowups).
+
+    One exact per-source percentile (groupBy percentile — the threshold
+    table is |sources| rows), broadcast back onto the corpus for the
+    filter, then the per-source keep stats.  The threshold is rounded to
+    6 decimals BEFORE the comparison on both engines, so boundary
+    membership can't flip on a last-ulp interpolation difference.  At
+    100 TB the percentile swaps to approx_percentile (t-digest) — the
+    sketch path q22 exercises.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    thr = d.groupBy("source").agg(
+        F.round(F.percentile(F.col("n_chars").cast("double"), F.lit(0.99)), 6).alias(
+            "p99"
+        )
+    )
+    return (
+        d.join(F.broadcast(thr), "source")
+        .where(F.col("n_chars").cast("double") <= F.col("p99"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.max("p99").alias("p99_chars"),
+        )
+    )
+
+
+@query("q103_embedding_clusters")  # rows-only: k-means has no SQL oracle
+def q103_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded k-means clustering of the embedding corpus → per-cluster
+    size and label entropy proxy (distinct labels) — the
+    topic-discovery / cluster-balancing primitive for corpus curation.
+
+    Centroids train on a bounded seeded sample (cost independent of
+    corpus size); assignment is one Arrow-batched matmul pass; the only
+    exchange is the final per-cluster aggregate.  Deterministic for the
+    fixed seed — asserted by the twin-run test in tests/test_llm_ops.py.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(e, id_col="vec_id", n_cells=8, seed=42)
+    return (
+        assigned.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+        .orderBy("cluster_id")
+    )
