@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.catalog import register_tables, sql
+from udacity_datalake_spark_spark.operators.multimodal import extract_payload_features
 from udacity_datalake_spark_spark.session import s3a_conf
 
 
@@ -223,3 +224,27 @@ def test_chunk_udtf_matches_builtin(spark, sf_dir):
     )
     key = lambda r: (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
     assert sorted(map(key, builtin.collect())) == sorted(map(key, via_udtf.collect()))
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """binaryFile ingest: content bytes survive verbatim, metadata cols
+    are present, and pathGlobFilter prunes non-matching files at listing
+    time (the multimodal ingestion edge — operators/multimodal.py)."""
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(3)}
+    for name, blob in payloads.items():
+        (media / name).write_bytes(blob)
+    (media / "notes.txt").write_text("not media")
+
+    from udacity_datalake_spark_spark.sources.readers import read_binary_files
+
+    df = read_binary_files(spark, str(media), glob="*.bin")
+    assert {f.name for f in df.schema.fields} == {"path", "modificationTime", "length", "content"}
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == payloads, "glob must prune .txt and content must be byte-exact"
+
+    feats = extract_payload_features(
+        df.select(F.monotonically_increasing_id().alias("doc_id"), F.col("content").alias("payload"))
+    )
+    assert feats.count() == 3

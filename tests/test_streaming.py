@@ -226,3 +226,17 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     cols = ["click_id", "error_id", "c_user", "click_ts", "error_ts"]
     assert _as_sorted_rows(streamed, cols) == _as_sorted_rows(batch, cols)
     assert streamed.count() > 0
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir, events_dir):
+    """q104: stream-static enrichment must produce exactly the batch
+    result once the bounded stream drains (availableNow)."""
+    from udacity_datalake_spark_spark.streaming.windows import stream_static_enrich
+
+    dim = read_table(spark, sf_dir, "customer")
+    schema = _batch_schema(spark, events_dir)
+    stream = read_parquet_stream(spark, events_dir, schema, max_files_per_trigger=2)
+    streamed = run_available_now(stream_static_enrich(stream, dim), "t_stream_static")
+    batch = stream_static_enrich(spark.read.parquet(events_dir), dim)
+    cols = ["window_start", "window_end", "c_mktsegment", "n", "sum_value"]
+    assert _as_sorted_rows(streamed, cols) == _as_sorted_rows(batch, cols)

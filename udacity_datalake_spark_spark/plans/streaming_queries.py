@@ -211,3 +211,31 @@ def q71_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+@query(
+    "q104_stream_static_join",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           c_mktsegment,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q104_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch twin): events joined to the
+    customer dimension on user_id, windowed counts + exact decimal sums
+    per market segment.  The identical code path runs as a Structured
+    Streaming query — the dimension broadcasts per micro-batch, join
+    state never accumulates (streaming.windows.stream_static_enrich;
+    stream ≡ batch proven in tests/test_streaming.py)."""
+    from udacity_datalake_spark_spark.streaming.windows import stream_static_enrich
+
+    return stream_static_enrich(
+        read_table(spark, sf_dir, "events"),
+        read_table(spark, sf_dir, "customer"),
+    )

@@ -97,3 +97,25 @@ def read_csv_feed(
         .option("mode", "FAILFAST")
         .csv(path)
     )
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Raw media ingest via Spark's ``binaryFile`` source: one row per
+    file with ``(path, modificationTime, length, content: binary)``.
+
+    This is the ingestion edge of the multimodal pipeline
+    (operators/multimodal.py): images/audio/video land as opaque binary
+    payloads with file-level metadata, then decode/feature-extract runs
+    as Arrow-batched mapInPandas stages.  The source is splittable by
+    file (a task per file group), so a 100 TB media corpus parallelizes
+    by file count; use ``glob`` (``pathGlobFilter``) to prune by
+    extension at listing time — pruning never reads file bytes.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -129,3 +129,44 @@ def read_rate_stream(
         .option("numPartitions", num_partitions)
         .load()
     )
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str] = ("user_id", "c_custkey"),
+    enrich_col: str = "c_mktsegment",
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: join each event to a static dimension
+    row, then windowed counts per (window, dimension attribute).
+
+    The canonical streaming-ETL shape Spark handles natively: the static
+    side is (re)broadcast per micro-batch, so the stream never shuffles
+    for the join — state exists only in the windowed aggregate, bounded
+    by the watermark.  Works unchanged on a batch or streaming ``events``
+    frame (the batch twin is the DuckDB-oracle-checked q104).
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    left_key, right_key = on
+    joined = src.join(
+        F.broadcast(dim.select(F.col(right_key), F.col(enrich_col))),
+        F.col(left_key) == F.col(right_key),
+        "inner",
+    )
+    return (
+        joined.groupBy(F.window(F.col(ts_col), width), enrich_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            enrich_col,
+            "n",
+            "sum_value",
+        )
+    )
