@@ -73,7 +73,8 @@ def test_relational_queries_stay_jvm_side(spark, sf_dir):
     """q01–q39: pure relational surface must never cross into Python.
     (q50/q51 are the *deliberate* pandas-UDF paths and are exempt.)"""
     for name, fn in QUERIES.items():
-        if not name[1:3].isdigit() or not int(name[1:3]) < 40:
+        num = name[1:].split("_", 1)[0]
+        if not num.isdigit() or not int(num) < 40:
             continue
         assert not has_python_eval(fn(spark, sf_dir)), f"{name} plans a Python eval node"
 

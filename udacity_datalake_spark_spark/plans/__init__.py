@@ -12,6 +12,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     similarity,
     sql_surface,
     streaming_queries,
+    surface_extra,
     tpch_extra,
     tpch_gaps,
     textops,

@@ -170,9 +170,18 @@ def q85_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("c_custkey")
     )
-    orders = read_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    # prune orders BEFORE the only shuffle join: date range + the
+    # broadcast region semi-filter cut the shuffled rows ~10× — at 100 TB
+    # this is the difference between shuffling the full orders table and
+    # only the qualifying slice
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_orderdate")
     )
     li = read_table(spark, sf_dir, "lineitem")
     vol = _disc_price()
@@ -180,7 +189,6 @@ def q85_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
@@ -478,27 +486,31 @@ def q91_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with orders whose total quantity
     exceeds a threshold.
 
-    The IN-subquery is a semi-join against a HAVING-filtered agg of the
-    SAME fact table; sharing the l_orderkey partitioning between the agg
-    and the semi-join means AQE plans one lineitem shuffle reused twice.
-    LIMIT is deterministic: o_totalprice DESC tie-broken on o_orderkey.
+    Key rewrite vs the literal SQL: the outer SUM(l_quantity) per order
+    is byte-identical to the HAVING aggregate (orders/customer join 1:1
+    per orderkey), so lineitem is scanned and shuffled ONCE — the
+    HAVING-filtered agg itself joins to orders, no fact re-join.  LIMIT
+    is deterministic: o_totalprice DESC tie-broken on o_orderkey.
     """
     li = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
     big_orders = (
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("q"))
         .where(F.col("q") > F.lit(200).cast("decimal(18,2)"))
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
-    orders = read_table(spark, sf_dir, "orders").join(
-        big_orders, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
-    )
+    orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer", columns=["c_custkey", "c_name"])
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        orders.join(big_orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )

@@ -52,6 +52,12 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level filtering: inject a bloom filter built from the
+        # small side of a shuffle join into the large side's scan — at
+        # 100 TB this prunes fact rows before the exchange, the same
+        # semi-join reduction classic MPP engines hand-plan
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
