@@ -18,6 +18,7 @@ from udacity_datalake_spark_spark.operators.joins import (
     asof_join,
     left_join_or,
     range_band_join,
+    hot_key_salted_join,
     salted_join,
 )
 
@@ -114,3 +115,26 @@ def test_asof_join_property(spark, left, right):
     for k, t in left:
         match = max(((rt, p) for rt, p in rmap.get(k, []) if rt <= t), default=None)
         assert got[(k, t)] == (match[1] if match else None), (k, t, got[(k, t)], match)
+
+
+@given(
+    fact=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=0, max_size=10),
+    dim=st.lists(st.tuples(st.integers(0, 3), st.text("AB", min_size=1, max_size=2)), min_size=0, max_size=4),
+    how=st.sampled_from(["inner", "left"]),
+)
+@SETTINGS
+def test_hot_key_salted_join_property(spark, fact, dim, how):
+    """hot-key salting ≡ plain join for any skew profile, including the
+    all-hot (sample_fraction=1, hot_fraction tiny → every key hot) and
+    no-hot (threshold above every count) regimes."""
+    if not fact or not dim:
+        return
+    dim = list({k: (k, t) for k, t in dim}.values())
+    f = spark.createDataFrame(fact, "k int, v int")
+    d = spark.createDataFrame(dim, "k int, tag string")
+    plain = f.join(d, "k", how)
+    for hot_fraction in (0.0001, 2.0):  # everything hot / nothing hot
+        out = hot_key_salted_join(
+            f, d, key="k", n_salt=3, how=how, sample_fraction=1.0, hot_fraction=hot_fraction
+        )
+        assert _rows(out.select(*plain.columns)) == _rows(plain), hot_fraction

@@ -101,6 +101,61 @@ def salted_join(
     return out.drop("__salt")
 
 
+def hot_key_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+    sample_fraction: float = 0.01,
+    hot_fraction: float = 0.001,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew join that salts ONLY detected hot keys — the production form
+    of ``salted_join``.
+
+    ``salted_join`` replicates the whole dim ``n_salt``× and re-hashes
+    every fact row; fine when most keys are hot, wasteful when (as in
+    real skew) a handful of keys hold most rows.  This variant:
+
+    1. samples the fact side (one cheap scan, no shuffle — sampling is a
+       per-partition filter) and collects keys above ``hot_fraction`` of
+       the sampled rows — by construction ≤ 1/hot_fraction keys, so the
+       collected set is always driver/broadcast-safe;
+    2. joins cold fact rows against the dim untouched (plain hash join,
+       AQE free to broadcast);
+    3. salts only hot fact rows, replicating only the ≤1/hot_fraction
+       matching dim rows ``n_salt``×;
+    4. unions the two results — exactly the rows of
+       ``fact.join(dim, key, how)`` (property-tested).
+
+    Use over AQE skew-split when the join output must stay co-partitioned
+    for a downstream op, or when one key exceeds a single task's memory
+    even after AQE's split (AQE splits a partition, not a key).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hot_key_salted_join supports inner/left, got {how!r}")
+    sampled = fact.select(key).sample(fraction=sample_fraction, seed=seed)
+    counts = sampled.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    total = counts.agg(F.sum("__n")).first()[0] or 0
+    hot = [
+        r[key]
+        for r in counts.where(F.col("__n") >= F.lit(max(1.0, total * hot_fraction))).collect()
+    ]
+    if not hot:
+        return fact.join(dim, key, how)
+
+    is_hot = F.col(key).isin(hot)
+    cold = fact.where(~is_hot | F.col(key).isNull()).join(dim, key, how)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    f_hot = fact.where(is_hot).withColumn("__salt", salt)
+    d_hot = dim.where(F.col(key).isin(hot)).withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(n_salt)]))
+    )
+    hot_joined = f_hot.join(d_hot, [key, "__salt"], how).drop("__salt")
+    return cold.unionByName(hot_joined)
+
+
 def range_band_join(
     fact: DataFrame,
     bands: DataFrame,

@@ -16,6 +16,7 @@ from udacity_datalake_spark_spark.functions.numeric import dec, exact_sum
 from udacity_datalake_spark_spark.operators.similarity import cosine_near_dup_pairs
 from udacity_datalake_spark_spark.operators.joins import (
     asof_join,
+    hot_key_salted_join,
     range_band_join,
     salted_join,
 )
@@ -168,6 +169,36 @@ def q38_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, o, key="l_orderkey", n_salt=8).groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         exact_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@query(
+    "q109_hot_key_skew_join",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q109_hot_key_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fact⋈dim equi-join through the hot-key-only salting path
+    (operators.joins.hot_key_salted_join): heavy-hitter keys are detected
+    from a sampled scan and only their rows salt/replicate; the cold
+    majority joins untouched.  Identical result to the plain join — the
+    oracle — under any skew profile (property-tested)."""
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    o = read_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    return (
+        hot_key_salted_join(li, o, key="l_orderkey", n_salt=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
     )
 
 
