@@ -34,15 +34,32 @@ def connected_components(
     of its component.  Returns (node, component) — one row per distinct
     node appearing in ``edges``.
     """
+    # materialize the edge list ONCE before mirroring it: the union below
+    # references `edges` twice, and without this an expensive upstream
+    # (e.g. a Jaccard shingle self-join) would execute per branch
+    ed = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).localCheckpoint(
+        eager=True
+    )
     und = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        ed.union(ed.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")))
         .distinct()
+        # partition the (big, static) edge list on the per-round join key
+        # ONCE — every propagation round then shuffles only the label
+        # frame (one small row per node), never the edges
+        .repartition("nbr")
         .persist()
     )
     labels = und.select("node").distinct().withColumn("component", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
 
+    # labels only ever decrease (min-propagation), so the label sum
+    # strictly decreases while anything changes: convergence is "sum
+    # unchanged", one aggregate action per round — no new-vs-old join.
+    # decimal(38,0) so a 1e9-node graph of int64 ids can't overflow.
+    def _sig(frame: DataFrame):
+        return frame.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+
+    prev_sig = _sig(labels)
     for _ in range(max_iter):
         # candidate label for each node: its own + every neighbor's label
         # (rename before joining — und and labels share lineage)
@@ -57,15 +74,11 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        cur_sig = _sig(labels)
+        if cur_sig == prev_sig:
             break
+        prev_sig = cur_sig
 
     und.unpersist()
     return labels

@@ -205,3 +205,62 @@ def q103_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "q110_sequence_packing",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id % 16 AS shard, doc_id,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), p AS (
+        SELECT source, shard, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        FROM t
+    )
+    SELECT source, shard, CAST(floor(start_off / 2048.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM p
+    GROUP BY 1, 2, 3
+    """,
+)
+def q110_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: documents are laid out in a deterministic
+    order and assigned to fixed token-budget bins (2048 here) by the bin
+    their starting offset falls in — the offset-based variant of greedy
+    context-window packing, expressible as one windowed prefix sum.
+
+    Scale shape: packing order within a bin is arbitrary, so the corpus is
+    sharded (doc_id mod 16 — at 100 TB use ~1 shard per executor-core) and
+    each shard packs independently; the window partitions on
+    (source, shard), so no global sort and no single-partition bottleneck.
+    Returns per-bin occupancy for inspection; emitting (doc_id → bin) is
+    the same plan minus the final aggregate.
+    """
+    from udacity_datalake_spark_spark.operators.text import token_count
+    from udacity_datalake_spark_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    t = d.select(
+        "source",
+        F.pmod("doc_id", F.lit(16)).alias("shard"),
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = t.withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return p.groupBy(
+        "source",
+        "shard",
+        F.floor(F.col("start_off") / F.lit(2048.0)).cast("long").alias("bin_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
