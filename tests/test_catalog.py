@@ -248,3 +248,28 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
         df.select(F.monotonically_increasing_id().alias("doc_id"), F.col("content").alias("payload"))
     )
     assert feats.count() == 3
+
+
+def test_tolerant_json_quarantines_bad_lines(spark, tmp_path):
+    """PERMISSIVE ingest: good lines parse, malformed lines are captured
+    verbatim in the corrupt column — the job never dies (the quarantine
+    pattern for 100 TB feeds, sources/readers.py)."""
+    from pyspark.sql import types as T
+
+    from udacity_datalake_spark_spark.sources.readers import read_json_feed_tolerant
+
+    feed = tmp_path / "feed.json"
+    feed.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": 3, "name": BROKEN\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    df = read_json_feed_tolerant(spark, str(feed), schema).cache()
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert bad.count() == 1 and "BROKEN" in bad.first()._corrupt_record
+    df.unpersist()

@@ -158,3 +158,28 @@ def test_dq_report_counts_planted_violations(spark):
         unique_keys=["k1", "k2"],
     ).collect()[0]
     assert (row.n_rows, row.bad_qty, row.bad_flag, row.null_req, row.dup_pk) == (5, 1, 1, 1, 1)
+
+
+def test_scd2_collapses_redelivered_records(spark):
+    """Re-delivered unchanged records must not mint spurious versions;
+    the current row is open-ended (operators/scd.py)."""
+    from udacity_datalake_spark_spark.operators.scd import scd2
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "free"),
+        (1, "2024-01-02 00:00:00", "free"),   # redelivery — no new version
+        (1, "2024-01-03 00:00:00", "paid"),
+        (2, "2024-01-05 00:00:00", "paid"),
+    ]
+    changes = spark.createDataFrame(rows, "user_id int, ts string, level string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = scd2(changes, key="user_id", ts="ts", attrs=["level"]).collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.valid_from)):
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = by_user[1]
+    assert [r.level for r in u1] == ["free", "paid"]
+    assert u1[0].valid_to == u1[1].valid_from and not u1[0].is_current
+    assert u1[1].valid_to is None and u1[1].is_current
+    assert len(by_user[2]) == 1 and by_user[2][0].is_current

@@ -153,3 +153,35 @@ def q108_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(top2, F.col("c_custkey") == F.col("o_custkey")).select(
         "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
     )
+
+
+@query(
+    "q111_scd2_dimension",
+    oracle="""
+    WITH dedup AS (
+        SELECT user_id, ts, event_type
+        FROM (
+            SELECT user_id, ts, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev
+            FROM events
+        )
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL AS is_current
+    FROM dedup
+    """,
+)
+def q111_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event changelog
+    (operators.scd.scd2): per-user validity intervals for the observed
+    state, consecutive no-op records collapsed, open-ended current row.
+    One hash exchange on the key + in-partition window pass — the
+    history-preserving alternative to the reference's overwrite-the-
+    dimension-every-run (etl.py:46,62,95)."""
+    from udacity_datalake_spark_spark.operators.scd import scd2
+
+    events = read_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return scd2(events, key="user_id", ts="ts", attrs=["event_type"])

@@ -119,3 +119,30 @@ def read_binary_files(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_json_feed_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """PERMISSIVE JSON ingest with quarantine: malformed lines land intact
+    in ``corrupt_col`` (other columns null) instead of failing the job.
+
+    The 100 TB ingest posture: one bad record in a billion must not kill
+    a ten-hour run.  Rows split cleanly — ``WHERE corrupt_col IS NULL``
+    is the parsed feed, ``IS NOT NULL`` the quarantine side-output to
+    persist for inspection/replay.  Use ``read_json_feed`` (strict) when
+    upstream guarantees well-formedness and a fast hard failure is the
+    better contract.
+    """
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
