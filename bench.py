@@ -47,6 +47,10 @@ HEADLINE = [
     "q65_sessionize",
     "q71_interval_join",
     "q72_dq_report",
+    # curation / skew scale paths
+    "q95_dedup_corpus",
+    "q109_hot_key_skew_join",
+    "q110_sequence_packing",
 ]
 
 

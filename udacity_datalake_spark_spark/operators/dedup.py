@@ -59,22 +59,28 @@ def ngram_jaccard_pairs(
     join sides); persist() materializes the shingle expression once
     instead of three times.
     """
-    sh = explode_shingles(df, id_col, text_col, n).persist()
+    # attach each doc's shingle-set size to its shingle rows BEFORE the
+    # self-join: the candidate-pair set (every doc pair sharing ≥1
+    # shingle) is far larger than the shingle frame, so carrying two
+    # extra ints through the shingle join is much cheaper than shuffling
+    # the pair set twice more to look sizes up afterwards — and the
+    # threshold then applies inside the pair aggregate itself, so
+    # sub-threshold pairs never leave that stage
+    sh = explode_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    a = sh.select(F.col(id_col).alias("d1"), "shingle")
-    b = sh.select(F.col(id_col).alias("d2"), "shingle")
-    inter = (
+    sh = sh.join(sizes, id_col).persist()
+    a = sh.select(F.col(id_col).alias("d1"), F.col("__sz").alias("__sz1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), F.col("__sz").alias("__sz2"), "shingle")
+    jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
+    return (
         a.join(b, ["shingle"])
         .where(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    sz1 = sizes.select(F.col(id_col).alias("d1"), F.col("__sz").alias("__sz1"))
-    sz2 = sizes.select(F.col(id_col).alias("d2"), F.col("__sz").alias("__sz2"))
-    jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
-    return (
-        inter.join(sz1, "d1")
-        .join(sz2, "d2")
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.first("__sz1").alias("__sz1"),
+            F.first("__sz2").alias("__sz2"),
+        )
         .select("d1", "d2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
