@@ -165,3 +165,68 @@ def test_repetition_metrics_has_no_exchange(spark, sf_dir):
     plan = explain_str(df)
     assert "Exchange" not in plan, plan
     assert not has_python_eval(df)
+
+
+def test_quantile_binning_has_no_range_shuffle(spark, sf_dir):
+    """q113's whole point is avoiding the NTILE total-order exchange: the
+    plan must contain no rangepartitioning and no global Sort of the
+    fact table — only the 1-row boundary broadcast."""
+    plan = explain_str(QUERIES["q113_quantile_binning"](spark, sf_dir))
+    assert "rangepartitioning" not in plan, plan
+    assert not has_python_eval(QUERIES["q113_quantile_binning"](spark, sf_dir))
+
+
+def test_semijoin_reduction_prefilters_fact_side(spark, sf_dir):
+    """q114: the broadcast bucket prefilter must (a) plan every join as a
+    hash join with at least one broadcast, and (b) actually drop fact
+    rows before the exact join (zero false negatives is the oracle's
+    job; reduction is this test's)."""
+    from udacity_datalake_spark_spark.plans import analytic_extra  # noqa: F401
+    import pyspark.sql.functions as SF
+
+    df = QUERIES["q114_semijoin_reduction"](spark, sf_dir)
+    nodes = join_nodes(df)
+    assert "BroadcastNestedLoopJoin" not in nodes and "CartesianProduct" not in nodes, nodes
+    assert "BroadcastHashJoin" in nodes, nodes
+
+    o = read_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).where(
+        SF.col("o_orderpriority") == "1-URGENT"
+    )
+    buckets = o.select(
+        (SF.xxhash64("o_orderkey").bitwiseAND(SF.lit(0xFFFF))).alias("__bucket")
+    ).distinct()
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+    kept = (
+        li.withColumn("__bucket", SF.xxhash64("l_orderkey").bitwiseAND(SF.lit(0xFFFF)))
+        .join(SF.broadcast(buckets), "__bucket", "left_semi")
+        .count()
+    )
+    total = li.count()
+    assert kept < total, f"prefilter kept all {total} rows — no reduction"
+
+
+def test_interval_islands_single_exchange(spark, sf_dir):
+    """q116: both window passes and both aggregates cluster on l_suppkey
+    (island_id is a refinement), so the whole query needs exactly ONE
+    hash exchange."""
+    from udacity_datalake_spark_spark.explain import exchange_count
+
+    assert exchange_count(QUERIES["q116_interval_islands"](spark, sf_dir)) == 1
+
+
+def test_rolling_anomaly_single_exchange_jvm_side(spark, sf_dir):
+    """q119: one user_id exchange, sliding frame evaluated JVM-side."""
+    from udacity_datalake_spark_spark.explain import exchange_count
+
+    df = QUERIES["q119_rolling_anomaly"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    assert not has_python_eval(df)
+
+
+def test_fuzzy_join_is_blocked_hash_join(spark, sf_dir):
+    """q117: the brand equi-component must keep the fuzzy join a hash
+    join — a CartesianProduct would be the O(n²) global comparison the
+    blocking exists to prevent."""
+    nodes = join_nodes(QUERIES["q117_fuzzy_string_join"](spark, sf_dir))
+    assert nodes, "no join planned"
+    assert "CartesianProduct" not in nodes and "BroadcastNestedLoopJoin" not in nodes, nodes

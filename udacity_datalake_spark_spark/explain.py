@@ -59,3 +59,15 @@ def join_nodes(df: DataFrame) -> list[str]:
                 found.append(n)
                 break
     return found
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of distinct (non-reused) shuffle Exchange nodes in the plan.
+
+    The formatted explain prints each node twice (tree + detail section);
+    count only the detail headers, which are unique per node.
+    """
+    import re
+
+    plan = explain_str(df)
+    return len(re.findall(r"^\(\d+\) Exchange(?!.*Reused)", plan, flags=re.MULTILINE))

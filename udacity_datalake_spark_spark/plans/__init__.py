@@ -1,6 +1,7 @@
 """Query surface registry — importing this package registers all queries."""
 
 from udacity_datalake_spark_spark.plans import (  # noqa: F401
+    analytic_extra,
     corpus_ops,
     curation_extra,
     grouping,

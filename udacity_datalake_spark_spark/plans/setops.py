@@ -70,3 +70,42 @@ def q26_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "q123_intersect_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+    INTERSECT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def q123_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (each row kept min(countA,
+    countB) times, vs the dedup-then-intersect of q25).  Physically one
+    hash exchange per side on the full row; Spark's replicate-rows
+    rewrite keeps it a partial-aggregable shape, so the shuffle carries
+    (row, count) pairs, not row multiplicity."""
+    o = read_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    a = o.where(F.col("o_orderkey") % 3 == 0).select("o_orderstatus", "o_orderpriority")
+    b = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderstatus", "o_orderpriority")
+    return a.intersectAll(b)
+
+
+@query(
+    "q124_except_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    EXCEPT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def q124_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (each row kept max(0, countA −
+    countB) times; the bag-semantics twin of q26).  The larger multiset
+    is on the left so surviving multiplicities are nonzero — the oracle
+    checks the exact surplus count per distinct row."""
+    o = read_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    a = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderstatus", "o_orderpriority")
+    b = o.where(F.col("o_orderkey") % 3 == 0).select("o_orderstatus", "o_orderpriority")
+    return a.exceptAll(b)

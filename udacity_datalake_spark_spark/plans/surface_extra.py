@@ -185,3 +185,48 @@ def q111_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
     return scd2(events, key="user_id", ts="ts", attrs=["event_type"])
+
+
+@query(
+    "q112_changelog_apply",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, ts, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_event,
+           CAST(value AS DECIMAL(18,2)) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q112_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application: materialize the CURRENT snapshot from an
+    append-only change feed — latest record per key wins, keys whose
+    latest record is a tombstone ('error' here) drop out entirely.
+
+    The MERGE-INTO-equivalent for engines without ACID tables: one hash
+    exchange on the key, per-partition sort, row_number = 1.  At 100 TB
+    the feed is typically date-partitioned, so partition pruning bounds
+    the scan to the days since the last snapshot; combining with the
+    previous snapshot is the same plan over (snapshot ∪ delta).  Ties
+    break on event_id so replays are bit-identical.
+    """
+    from pyspark.sql.window import Window
+
+    e = read_table(
+        spark, sf_dir, "events", columns=["user_id", "ts", "event_type", "value", "event_id"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event"),
+            dec("value").alias("last_value"),
+        )
+    )
