@@ -72,9 +72,17 @@ def ngram_jaccard_pairs(
     a = sh.select(F.col(id_col).alias("d1"), F.col("__sz").alias("__sz1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), F.col("__sz").alias("__sz2"), "shingle")
     jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
+    # size-band prune: J ≥ t needs inter ≥ t·(sz1+sz2)/(1+t) and inter ≤
+    # min(sz1,sz2), so pairs violating min·(1+t) ≥ t·(sz1+sz2) can never
+    # qualify — drop them BEFORE the pair aggregate (a small ε keeps
+    # float rounding from evicting exact-boundary pairs; the exact
+    # jaccard test below is still the only admission criterion)
+    band = F.least("__sz1", "__sz2") * (1 + threshold) >= (
+        (F.col("__sz1") + F.col("__sz2")) * threshold - F.lit(1e-9)
+    )
     return (
         a.join(b, ["shingle"])
-        .where(F.col("d1") < F.col("d2"))
+        .where((F.col("d1") < F.col("d2")) & band)
         .groupBy("d1", "d2")
         .agg(
             F.count(F.lit(1)).alias("__inter"),

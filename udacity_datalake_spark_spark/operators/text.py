@@ -57,10 +57,30 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work runs at full parallelism.
+
+    A small parquet table arrives as ONE scan split (files < 128 MB don't
+    split), so a heavy map stage — shingling, regex, hashing — runs on a
+    single core no matter how many the cluster has.  Round-robin
+    repartition to the default parallelism ONLY in that regime; at real
+    scale the scan already has ≥ cores splits and this is a no-op, so no
+    shuffle is ever added where data is large.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def explode_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs — the input layout for Jaccard / MinHash joins."""
+    """(id, shingle) pairs — the input layout for Jaccard / MinHash joins.
+
+    The shingle transform is the CPU-dominant stage of every dedup path,
+    so it is spread() to full parallelism before the per-row work."""
     return (
-        df.where(F.size(tokens(text_col)) >= n)
+        spread(df)
+        .where(F.size(tokens(text_col)) >= n)
         .select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
     )
 
