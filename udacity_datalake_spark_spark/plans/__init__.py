@@ -2,6 +2,7 @@
 
 from udacity_datalake_spark_spark.plans import (  # noqa: F401
     analytic_extra,
+    behavior_ops,
     corpus_ops,
     curation_extra,
     grouping,
@@ -9,6 +10,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     pipeline_ops,
     relational,
     scalar,
+    scoring_ops,
     setops,
     similarity,
     sql_surface,

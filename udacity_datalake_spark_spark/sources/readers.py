@@ -49,6 +49,15 @@ def read_table(
                 df = df.withColumn(
                     field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
                 )
+            elif isinstance(field.dataType, T.TimestampType) and isinstance(
+                actual, T.TimestampNTZType
+            ):
+                # parquet writers may mark the column isAdjustedToUTC=false
+                # (TIMESTAMP_NTZ).  The engine canonicalizes event time to
+                # instants; with the session pinned to UTC the cast is
+                # value-preserving, and downstream integer time math
+                # (unix_micros) only accepts TimestampType.
+                df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     if columns is not None:
         df = df.select(*columns)
     return df
