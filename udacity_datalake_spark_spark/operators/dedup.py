@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from udacity_datalake_spark_spark.operators.text import content_fingerprint, explode_shingles, tokens
+from udacity_datalake_spark_spark.operators.text import (
+    content_fingerprint,
+    explode_shingles,
+    shingles,
+    spread,
+    tokens,
+)
 
 MINHASH_K = 64  # signature length
 MINHASH_BANDS = 16  # 16 bands × 4 rows → catches J≳0.7 with high probability
@@ -49,45 +55,89 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard ≥ threshold).
+    """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard ≥ threshold),
+    via prefix filtering (AllPairs / PPJoin candidate generation).
 
-    Shingle equi-join: cost concentrates in shingles shared by many docs
-    (for genuinely common shingles, pre-filter high-document-frequency
-    shingles before the join — see ``df_cap``).
+    A naive shingle self-join materializes Σ_s cnt(s)² pair-rows — at a
+    repetitive corpus the common shingles make that quadratic in corpus
+    size.  Prefix filtering restores near-linear cost while staying
+    EXACT:
 
-    The exploded-shingle frame feeds three plan branches (sizes + both
-    join sides); persist() materializes the shingle expression once
-    instead of three times.
+    1. order each doc's shingle set by global rarity (document frequency
+       asc, shingle asc — one canonical order for the whole corpus);
+    2. a pair with J ≥ t must share a shingle within each doc's first
+       ``sz − ⌈t·sz⌉ + 1`` shingles of that order (if all shared shingles
+       sat in the suffix, the intersection would be ≤ ⌈t·sz⌉ − 1 < t·sz ≤
+       |x∩y| — contradiction), so the candidate join runs on PREFIX rows
+       only, concentrating on rare shingles where cnt(s) is small;
+    3. exact intersection counts are then computed ONLY for candidate
+       pairs, and the exact Jaccard test remains the sole admission
+       criterion — the rewrite changes cost, never results.
+
+    The per-doc shingle ARRAY is the unit of state: sizes ride along with
+    the exploded rows (no size-lookup join), and the verify step joins the
+    candidate pairs back to two array columns and counts the true
+    intersection with ``array_intersect`` inside codegen — no second
+    exploded shuffle.
     """
-    # attach each doc's shingle-set size to its shingle rows BEFORE the
-    # self-join: the candidate-pair set (every doc pair sharing ≥1
-    # shingle) is far larger than the shingle frame, so carrying two
-    # extra ints through the shingle join is much cheaper than shuffling
-    # the pair set twice more to look sizes up afterwards — and the
-    # threshold then applies inside the pair aggregate itself, so
-    # sub-threshold pairs never leave that stage
-    sh = explode_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    sh = sh.join(sizes, id_col).persist()
-    a = sh.select(F.col(id_col).alias("d1"), F.col("__sz").alias("__sz1"), "shingle")
-    b = sh.select(F.col(id_col).alias("d2"), F.col("__sz").alias("__sz2"), "shingle")
-    jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
-    # size-band prune: J ≥ t needs inter ≥ t·(sz1+sz2)/(1+t) and inter ≤
-    # min(sz1,sz2), so pairs violating min·(1+t) ≥ t·(sz1+sz2) can never
-    # qualify — drop them BEFORE the pair aggregate (a small ε keeps
-    # float rounding from evicting exact-boundary pairs; the exact
-    # jaccard test below is still the only admission criterion)
+    arrs = (
+        spread(df)
+        .where(F.size(tokens(text_col)) >= n)
+        .select(F.col(id_col), shingles(text_col, n).alias("__arr"))
+        .withColumn("__sz", F.size("__arr"))
+        .persist()
+    )
+    # candidate generation runs on 64-bit token hashes, not shingle
+    # strings — int64 exchanges instead of string exchanges.  A collision
+    # only merges two rarity buckets (slightly longer prefixes, a few
+    # extra candidates); the verify below intersects the TRUE string
+    # arrays, so collisions can never change the result set.
+    sh = arrs.select(id_col, "__sz", F.explode("__arr").alias("__shingle")).select(
+        id_col, "__sz", F.xxhash64(F.lit(7), F.col("__shingle")).alias("__tok")
+    )
+
+    # global document frequency = the canonical rarity order
+    dfreq = sh.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "__tok")
+    # prefix length sz − ⌈t·sz⌉ + 1; the ε keeps float ceil from rounding
+    # UP past an exact boundary (that would shorten the prefix — unsafe;
+    # a longer prefix only adds candidates)
+    pref_len = F.col("__sz") - F.ceil(F.col("__sz") * threshold - 1e-9) + 1
+    prefix = (
+        sh.join(dfreq, "__tok")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= pref_len)
+        .select(F.col(id_col), "__tok", "__sz")
+    )
+
+    # size-band prune: J ≥ t needs inter ≤ min(sz1,sz2) and inter ≥
+    # t·(sz1+sz2)/(1+t); pairs violating min·(1+t) ≥ t·(sz1+sz2) can
+    # never qualify (ε guards exact-boundary float rounding)
     band = F.least("__sz1", "__sz2") * (1 + threshold) >= (
         (F.col("__sz1") + F.col("__sz2")) * threshold - F.lit(1e-9)
     )
-    return (
-        a.join(b, ["shingle"])
+    a = prefix.select(F.col(id_col).alias("d1"), F.col("__sz").alias("__sz1"), "__tok")
+    b = prefix.select(F.col(id_col).alias("d2"), F.col("__sz").alias("__sz2"), "__tok")
+    cand = (
+        a.join(b, ["__tok"])
         .where((F.col("d1") < F.col("d2")) & band)
-        .groupBy("d1", "d2")
-        .agg(
-            F.count(F.lit(1)).alias("__inter"),
-            F.first("__sz1").alias("__sz1"),
-            F.first("__sz2").alias("__sz2"),
+        .select("d1", "d2", "__sz1", "__sz2")
+        .distinct()
+    )
+
+    # exact verify on candidates only: two equi-joins pull in the shingle
+    # arrays, array_intersect counts true overlap — all codegen, no
+    # exploded aggregate
+    jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
+    return (
+        cand.join(arrs.select(F.col(id_col).alias("d1"), F.col("__arr").alias("__a1")), "d1")
+        .join(arrs.select(F.col(id_col).alias("d2"), F.col("__arr").alias("__a2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            "__sz1",
+            "__sz2",
+            F.size(F.array_intersect("__a1", "__a2")).alias("__inter"),
         )
         .select("d1", "d2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)

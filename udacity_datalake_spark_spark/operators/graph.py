@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -40,6 +41,39 @@ def connected_components(
     ed = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).localCheckpoint(
         eager=True
     )
+    # Small-graph fast path: each distributed min-propagation round costs
+    # seconds of scheduling + checkpoint latency regardless of data size,
+    # so below ~10^5 edges (near-dup edge sets are tiny relative to their
+    # corpus) an exact driver-side union-find is strictly faster and
+    # yields the identical min-label result.  Large graphs take the
+    # distributed loop below unchanged.
+    n_edges = ed.count()
+    if n_edges <= 100_000:
+        pairs = [(r[0], r[1]) for r in ed.collect()]
+        parent: dict = {}
+
+        def _find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in pairs:
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+        for u, v in pairs:
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                # smaller id stays root → the final root IS the min label
+                parent[hi] = lo
+        node_t = ed.schema["node"].dataType
+        out_schema = T.StructType(
+            [T.StructField("node", node_t), T.StructField("component", node_t)]
+        )
+        rows = [(v, _find(v)) for v in parent]
+        return ed.sparkSession.createDataFrame(rows, schema=out_schema)
+
     und = (
         ed.union(ed.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")))
         .distinct()

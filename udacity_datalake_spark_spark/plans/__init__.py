@@ -2,6 +2,7 @@
 
 from udacity_datalake_spark_spark.plans import (  # noqa: F401
     analytic_extra,
+    analytic_wave3,
     behavior_ops,
     corpus_ops,
     curation_extra,

@@ -61,6 +61,11 @@ def get_session(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # read parquet TIMESTAMP_NTZ (isAdjustedToUTC=false) columns as
+        # plain TimestampType IN THE SCAN — a post-read cast would sit
+        # between the filter and the scan and defeat predicate pushdown
+        # on every time predicate
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
         .config("spark.ui.enabled", "false")

@@ -38,6 +38,10 @@ def read_table(
     matching DuckDB's nanos→micros view of the same file.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # scan-level NTZ→timestamp so time predicates stay pushdown-eligible
+    # (set defensively for sessions not built by session.get_session; the
+    # TimestampNTZType branch below is then a dead fallback)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = TESTDATA_SCHEMAS.get(name)
     if expected is not None:
