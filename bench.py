@@ -51,6 +51,12 @@ HEADLINE = [
     "q95_dedup_corpus",
     "q109_hot_key_skew_join",
     "q110_sequence_packing",
+    # behavioral + scoring surface
+    "q126_event_funnel",
+    "q133_bm25_retrieval",
+    "q134_pareto_frontier",
+    "q137_weighted_median",
+    "q143_pmi_cooccurrence",
 ]
 
 

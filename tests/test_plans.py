@@ -230,3 +230,60 @@ def test_fuzzy_join_is_blocked_hash_join(spark, sf_dir):
     nodes = join_nodes(QUERIES["q117_fuzzy_string_join"](spark, sf_dir))
     assert nodes, "no join planned"
     assert "CartesianProduct" not in nodes and "BroadcastNestedLoopJoin" not in nodes, nodes
+
+
+def test_date_dim_enrich_broadcasts(spark, sf_dir):
+    """q139: the generated calendar must broadcast — the fact side never
+    shuffles for calendar enrichment."""
+    df = QUERIES["q139_date_dim_enrich"](spark, sf_dir)
+    nodes = join_nodes(df)
+    assert nodes == ["BroadcastHashJoin"] or (
+        "BroadcastHashJoin" in nodes and "SortMergeJoin" not in nodes
+    ), nodes
+    assert not has_python_eval(df)
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """q140: eqNullSafe must plan as a hash join, not fall back to
+    nested-loop (the OR-of-IS-NULL rewrite would)."""
+    nodes = join_nodes(QUERIES["q140_null_safe_join"](spark, sf_dir))
+    assert nodes, "no join planned"
+    assert "BroadcastNestedLoopJoin" not in nodes and "CartesianProduct" not in nodes, nodes
+
+
+def test_funnel_all_hash_joins(spark, sf_dir):
+    """q126: every funnel stage joins on user_id — hash joins only."""
+    df = QUERIES["q126_event_funnel"](spark, sf_dir)
+    # the three single-row stage-count frames combine via broadcast
+    # nested loop (1×1×1 rows — fine); the per-user joins must not
+    all_nodes = join_nodes(df)
+    per_user = [n for n in all_nodes if n in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")]
+    assert len(per_user) >= 2, all_nodes
+    assert "CartesianProduct" not in all_nodes, all_nodes
+    assert not has_python_eval(df)
+
+
+def test_trailing_hour_window_single_exchange(spark, sf_dir):
+    """q135: one user_id exchange feeds the RANGE-frame window."""
+    from udacity_datalake_spark_spark.explain import exchange_count
+
+    df = QUERIES["q135_trailing_hour_window"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    assert not has_python_eval(df)
+
+
+def test_windowed_dedup_single_exchange(spark, sf_dir):
+    """q136: one (user,type) exchange, lag evaluated JVM-side."""
+    from udacity_datalake_spark_spark.explain import exchange_count
+
+    df = QUERIES["q136_windowed_dedup"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    assert not has_python_eval(df)
+
+
+def test_snapshot_diff_no_nested_loop(spark, sf_dir):
+    """q131: the full-outer reconciliation join must stay key-aligned
+    (SMJ/shuffled-hash), never a nested loop."""
+    nodes = join_nodes(QUERIES["q131_snapshot_diff"](spark, sf_dir))
+    assert nodes, "no join planned"
+    assert "BroadcastNestedLoopJoin" not in nodes and "CartesianProduct" not in nodes, nodes

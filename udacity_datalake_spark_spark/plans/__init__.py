@@ -5,6 +5,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     analytic_wave3,
     behavior_ops,
     corpus_ops,
+    corpus_wave3,
     curation_extra,
     grouping,
     joins_extra,
@@ -19,6 +20,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     surface_extra,
     tpch_extra,
     tpch_gaps,
+    warehouse_ops,
     textops,
     windows,
 )

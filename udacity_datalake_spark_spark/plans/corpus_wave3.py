@@ -1,0 +1,153 @@
+"""Corpus analytics wave 3: PMI term co-occurrence and sweep-line
+concurrency — the last two classic shapes missing from the corpus /
+event-analytics surface.
+
+- PMI runs on DISTINCT tokens per document (document-frequency
+  probabilities), so the within-doc pair generation is bounded by the
+  distinct-vocabulary-per-doc square, not raw token count, and the pair
+  aggregate is map-side combined on the (a, b) key.  The final ln() is
+  one IEEE evaluation over exact integer counts, rounded before the
+  deterministic top-k cut.
+- Max-concurrency is the sweep line: each interval becomes a +1/-1
+  boundary row, a running sum over the per-key timeline gives the
+  occupancy curve, and its max is the answer — one exchange on the key,
+  no interval self-join (the O(n²) formulation this replaces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+
+@query(
+    "q143_pmi_cooccurrence",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    tf AS (SELECT term, count(*) AS n_t FROM tok GROUP BY term),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2
+    )
+    SELECT term_a, term_b, n_ab, pmi FROM (
+        SELECT term_a, term_b, n_ab,
+               round(ln((n_ab * CAST(n_docs AS DOUBLE)) / (ta.n_t * CAST(tb.n_t AS DOUBLE))), 6)
+                   AS pmi,
+               row_number() OVER (
+                   ORDER BY round(ln((n_ab * CAST(n_docs AS DOUBLE))
+                                     / (ta.n_t * CAST(tb.n_t AS DOUBLE))), 6) DESC,
+                            term_a, term_b) AS rn
+        FROM pairs
+        JOIN tf ta ON pairs.term_a = ta.term
+        JOIN tf tb ON pairs.term_b = tb.term
+        CROSS JOIN n
+        WHERE n_ab >= 50
+    ) WHERE rn <= 20
+    """,
+)
+def q143_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 term pairs by pointwise mutual information (document-level
+    co-occurrence): PMI = ln(P(a,b) / (P(a)·P(b))) with document-
+    frequency probabilities — the collocation signal a phrase-mining or
+    tokenizer-merge stage consumes.
+
+    Distinct tokens per doc bound the pair blowup by per-doc vocabulary;
+    the pair aggregate combines map-side on (a, b); the two unary
+    frequency joins are vocabulary-sized.  PMI evaluates once per
+    surviving pair over exact integer counts, is rounded to 6 decimals,
+    and the top-k tie-breaks lexicographically — a deterministic cut on
+    both engines.
+    """
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).distinct()
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    a = tok.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    b = tok.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 50)
+    )
+    scored = (
+        pairs.join(tf.select(F.col("term").alias("term_a"), F.col("n_t").alias("__na")), "term_a")
+        .join(tf.select(F.col("term").alias("term_b"), F.col("n_t").alias("__nb")), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_docs").cast("double"))
+                    / (F.col("__na") * F.col("__nb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "term_a", "term_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("term_a", "term_b", "n_ab", "pmi")
+    )
+
+
+@query(
+    "q144_max_concurrency",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+    ),
+    curve AS (
+        SELECT event_type,
+               sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS occupancy
+        FROM bounds
+    )
+    SELECT event_type, max(occupancy) AS peak_concurrency
+    FROM curve GROUP BY event_type
+    """,
+)
+def q144_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type, treating each event as a
+    30-minute interval — the sweep-line rewrite of "max overlapping
+    intervals" (capacity planning, rate limiting, session load).
+
+    Each interval contributes a +1 and a −1 boundary; a running sum over
+    the per-type timeline is the occupancy curve and its max the peak.
+    One exchange on event_type; ordering ties put −1 before +1 at the
+    same instant (half-open intervals) identically on both engines.
+    The naive alternative — an interval × interval overlap self-join —
+    is quadratic; this is linear after one sort-free hash exchange plus
+    the key-local window sort.
+    """
+    e = read_table(spark, sf_dir, "events", columns=["event_type", "ts"])
+    starts = e.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = starts.unionByName(ends).select(
+        "event_type", F.sum("delta").over(w).alias("occupancy")
+    )
+    return curve.groupBy("event_type").agg(F.max("occupancy").alias("peak_concurrency"))
