@@ -2,7 +2,9 @@
 queries() entry at sf0.01 against its oracle_sql() twin on DuckDB —
 row-count + column-name + order-insensitive exact value compare.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [name_substring ...]
+(optional substrings restrict the run to matching query names — for
+quick re-verification of a touched operator family)
 """
 
 from __future__ import annotations
@@ -26,6 +28,9 @@ def main() -> None:
     assert len(rows) >= 0
 
     qs, oracles = e.queries(), e.oracle_sql()
+    subs = sys.argv[2:]
+    if subs:
+        qs = {k: v for k, v in qs.items() if any(s in k for s in subs)}
     n_ok = n_rows_only = 0
     failures: list[str] = []
     for name in sorted(qs):

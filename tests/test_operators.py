@@ -4,6 +4,7 @@ as-of join."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.operators.joins import asof_join, left_join_or
@@ -106,26 +107,34 @@ def test_range_band_join_matches_naive_and_handles_overlap(spark):
     assert (19999.0, "mid") in got and (7500.0, "lo") in got and (7500.0, "mid") in got
 
 
-def test_connected_components_known_graph(spark):
-    """Two components (a 4-clique chain and a pair) + min-label choice."""
+@pytest.mark.parametrize("threshold", [100_000, 0])
+def test_connected_components_known_graph(spark, threshold):
+    """Two components (a 4-clique chain and a pair) + min-label choice —
+    both the union-find fast path (threshold high) and the distributed
+    min-propagation loop (threshold 0) must agree."""
     from udacity_datalake_spark_spark.operators.graph import connected_components
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (4, 1)], ["src", "dst"]
     )
-    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges, small_graph_threshold=threshold).collect()
+    }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
-def test_connected_components_long_chain(spark):
+@pytest.mark.parametrize("threshold", [100_000, 0])
+def test_connected_components_long_chain(spark, threshold):
     """A 12-node path needs multiple propagation rounds — exercises the
-    convergence loop, not just one-hop graphs."""
+    convergence loop on the distributed path, and the same chain through
+    union-find."""
     from udacity_datalake_spark_spark.operators.graph import connected_components
 
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 111)], ["src", "dst"]
     )
-    rows = connected_components(edges).collect()
+    rows = connected_components(edges, small_graph_threshold=threshold).collect()
     assert {r.component for r in rows} == {100}
     assert len(rows) == 12
 

@@ -138,3 +138,43 @@ def test_hot_key_salted_join_property(spark, fact, dim, how):
             f, d, key="k", n_salt=3, how=how, sample_fraction=1.0, hot_fraction=hot_fraction
         )
         assert _rows(out.select(*plain.columns)) == _rows(plain), hot_fraction
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["u", "v", "w", "z"]), min_size=0, max_size=8),
+        min_size=0,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.34, 0.6]),
+)
+@SETTINGS
+def test_ngram_jaccard_prefix_filter_property(spark, docs, threshold):
+    """The prefix-filtered + array-verify Jaccard join must equal the
+    brute-force all-pairs computation on arbitrary corpora — the prefix
+    theorem is only worth trusting if no qualifying pair ever escapes
+    candidate generation (rounding at the threshold boundary included)."""
+    from udacity_datalake_spark_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.d1, r.d2): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=threshold).collect()
+    }
+    sh = {
+        i: {" ".join(t[j : j + 2]) for j in range(len(t) - 1)}
+        for i, t in enumerate(docs)
+        if len(t) >= 2
+    }
+    want = {}
+    for i in sh:
+        for j in sh:
+            if i < j:
+                inter = len(sh[i] & sh[j])
+                union = len(sh[i] | sh[j])
+                if union and inter / union >= threshold:
+                    want[(i, j)] = round(inter / union, 9)
+    assert got == want

@@ -30,6 +30,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Label every node of the undirected graph with the minimum node id
     of its component.  Returns (node, component) — one row per distinct
@@ -47,8 +48,9 @@ def connected_components(
     # corpus) an exact driver-side union-find is strictly faster and
     # yields the identical min-label result.  Large graphs take the
     # distributed loop below unchanged.
+    # (tests pass small_graph_threshold=0 to exercise the distributed loop)
     n_edges = ed.count()
-    if n_edges <= 100_000:
+    if n_edges <= small_graph_threshold:
         pairs = [(r[0], r[1]) for r in ed.collect()]
         parent: dict = {}
 
