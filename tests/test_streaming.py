@@ -240,3 +240,72 @@ def test_stream_static_join_equals_batch(spark, sf_dir, events_dir):
     batch = stream_static_enrich(spark.read.parquet(events_dir), dim)
     cols = ["window_start", "window_end", "c_mktsegment", "n", "sum_value"]
     assert _as_sorted_rows(streamed, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_stream_stream_left_outer_interval_join_equals_batch(spark, events_dir, tmp_path):
+    """LEFT OUTER stream-stream interval join: clicks with no error
+    within 10 minutes are null-extended once the watermark passes their
+    horizon.  The source is split into time-ordered files consumed one
+    per trigger, so the watermark advances monotonically between
+    micro-batches — outer results need a LATER batch to be emitted
+    (state still held when a bounded stream terminates is discarded, by
+    Spark's stream-stream outer-join semantics)."""
+    from udacity_datalake_spark_spark.operators.joins import interval_join
+    from udacity_datalake_spark_spark.streaming.windows import read_parquet_stream
+
+    ordered_dir = str(tmp_path / "events_by_time")
+    src = spark.read.parquet(events_dir)
+    src.repartitionByRange(6, "ts").sortWithinPartitions("ts").write.parquet(ordered_dir)
+    # the file source orders batches by modification time — make it match
+    # range order (part-00000 = earliest time range) so the watermark
+    # advances monotonically
+    import os
+    import time as _time
+
+    base = _time.time() - 600
+    for i, f in enumerate(sorted(os.listdir(ordered_dir))):
+        if f.startswith("part-"):
+            os.utime(os.path.join(ordered_dir, f), (base + i, base + i))
+
+    def sides(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        errors = df.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        return clicks, errors
+
+    schema = spark.read.parquet(ordered_dir).schema
+    s_clicks, s_errors = sides(
+        read_parquet_stream(spark, ordered_dir, schema, max_files_per_trigger=1)
+    )
+    streamed = run_available_now(
+        interval_join(
+            s_clicks, s_errors, "c_user", "e_user", "click_ts", "error_ts",
+            "10 minutes", how="left",
+        ),
+        "t_interval_join_left",
+        output_mode="append",
+    )
+    b_clicks, b_errors = sides(spark.read.parquet(ordered_dir))
+    batch = interval_join(
+        b_clicks, b_errors, "c_user", "e_user", "click_ts", "error_ts",
+        "10 minutes", how="left",
+    )
+    cols = ["click_id", "error_id", "c_user", "click_ts", "error_ts"]
+    got, want = set(_as_sorted_rows(streamed, cols)), set(_as_sorted_rows(batch, cols))
+    # 1) never a spurious row
+    assert got <= want
+    # 2) matched pairs emit batch-by-batch — all must be present (the
+    #    time-ordered source means no error row arrives beyond-watermark)
+    matched = set(_as_sorted_rows(batch.where(F.col("error_id").isNotNull()), cols))
+    assert matched <= got
+    # 3) left-outer property: unmatched clicks from drained regions WERE
+    #    null-extended (non-empty), and every one the batch join agrees on
+    nulls_got = {r for r in got if r[1] == "None"}
+    assert nulls_got and nulls_got <= want
