@@ -148,3 +148,31 @@ def test_end_to_end_partitioned_layout(spark, song_data, log_data, tmp_path):
     sp = spark.read.parquet(f"{out}/songplays")
     assert sp.count() == 4
     assert sp.where(F.col("artist_id").isNull()).count() == 2
+
+
+def test_etl_cli_end_to_end(spark, tmp_path):
+    """The spark-submit entry (etl_cli.run_etl) reproduces the reference's
+    CLI pipeline (reference etl.py:176-199): JSON feeds in the reference
+    layout → full star schema as partitioned parquet."""
+    import shutil
+
+    from udacity_datalake_spark_spark.etl_cli import run_etl
+
+    inp = tmp_path / "input"
+    (inp / "song_data" / "A" / "B").mkdir(parents=True)
+    (inp / "log_data" / "2018").mkdir(parents=True)
+    shutil.copy(f"{FIXTURES}/song_data.json", inp / "song_data" / "A" / "B" / "songs.json")
+    shutil.copy(f"{FIXTURES}/log_data.json", inp / "log_data" / "2018" / "events.json")
+    out = str(tmp_path / "lake")
+
+    run_etl(spark, str(inp), out)
+
+    songs = spark.read.parquet(f"{out}/songs")
+    users = spark.read.parquet(f"{out}/users")
+    songplays = spark.read.parquet(f"{out}/songplays")
+    assert songs.count() == 3 and users.count() == 3
+    # partitioned layout: partition columns recovered via discovery
+    assert {"year", "artist_id"} <= set(songs.columns)
+    assert {"year", "month"} <= set(songplays.columns)
+    assert spark.read.parquet(f"{out}/artists").count() == 3
+    assert spark.read.parquet(f"{out}/time").count() > 0
