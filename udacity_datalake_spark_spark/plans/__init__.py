@@ -3,6 +3,7 @@
 from udacity_datalake_spark_spark.plans import (  # noqa: F401
     analytic_extra,
     analytic_wave3,
+    analytic_wave4,
     behavior_ops,
     corpus_ops,
     corpus_wave3,
