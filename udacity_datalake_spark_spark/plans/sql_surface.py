@@ -106,3 +106,31 @@ def q75_not_in_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN (null-aware anti join) filtering a 3-way join into a
     count-distinct aggregate (TPC-H Q16's shape)."""
     return sql(spark, sf_dir, _NOT_IN_SQL)
+
+
+# The NOT IN null trap: one NULL in the subquery makes x NOT IN (...)
+# UNKNOWN for every row (three-valued logic), so the NOT IN count is 0
+# while the NOT EXISTS twin counts normally.  Engines that "optimize"
+# NOT IN into an anti join without the null guard get this wrong; both
+# Spark (NullAwareAntiJoin) and DuckDB answer it correctly — proven by
+# running the same text on both.
+_NOT_IN_NULL_SQL = """
+WITH probe AS (
+    SELECT nullif(c_custkey, 1) AS k FROM customer WHERE c_custkey <= 50
+)
+SELECT
+    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM probe))
+        AS n_not_in,
+    (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM probe p WHERE p.k = o.o_custkey)) AS n_not_exists
+"""
+
+
+@query("q39_not_in_null_semantics", oracle=_NOT_IN_NULL_SQL)
+def q39_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under a NULL-bearing subquery — the classic
+    three-valued-logic trap (NOT IN must yield zero rows; NOT EXISTS
+    counts).  Spark plans the null-aware anti join (a broadcast with an
+    any-null flag, not a nested loop); the count pair proves semantics
+    match the oracle bit-for-bit."""
+    return sql(spark, sf_dir, _NOT_IN_NULL_SQL)
