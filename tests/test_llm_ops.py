@@ -139,3 +139,31 @@ def test_kmeans_clusters_deterministic_and_complete(spark, sf_dir):
     total = read_table(spark, sf_dir, "embeddings").count()
     assert sum(n for n, _ in run1.values()) == total, "every vector in exactly one cluster"
     assert len(run1) > 1, "more than one non-empty cluster expected"
+
+
+def test_perceptual_hash_pairs_identical_payloads(spark):
+    """Identical payloads → identical phash → paired at Hamming 0; a
+    clearly different payload stays unpaired at radius 3.  Signatures are
+    deterministic across invocations."""
+    from udacity_datalake_spark_spark.operators.dedup import hamming_band_pairs
+    from udacity_datalake_spark_spark.operators.multimodal import (
+        perceptual_hash64,
+        with_binary_payload,
+    )
+
+    rows = [
+        (1, "aaab " * 40),
+        (2, "aaab " * 40),          # exact copy of 1
+        (3, "zz 9 ! " * 55),        # different content/shape
+    ]
+    df = with_binary_payload(spark.createDataFrame(rows, "doc_id long, text string"))
+    sig1 = {r.doc_id: r.phash for r in perceptual_hash64(df).collect()}
+    sig2 = {r.doc_id: r.phash for r in perceptual_hash64(df).collect()}
+    assert sig1 == sig2  # deterministic
+    assert sig1[1] == sig1[2]
+    pairs = {
+        (r.d1, r.d2): r.hamming
+        for r in hamming_band_pairs(perceptual_hash64(df), "doc_id", "phash", 3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs

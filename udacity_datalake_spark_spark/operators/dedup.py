@@ -243,26 +243,28 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs within a Hamming radius, banded for scale:
-    split the 64-bit hash into (max_hamming+1) chunks — any pair within the
-    radius must agree exactly on at least one chunk (pigeonhole), so
-    candidates come from equi-joins on chunks, never a cross join."""
-    sig = simhash64(df, id_col, text_col)
+def hamming_band_pairs(
+    sig: DataFrame, id_col: str, hash_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs within a Hamming radius over ANY 64-bit signature
+    column (SimHash, perceptual hash, …), banded for scale: split the
+    hash into (max_hamming+1) chunks — a pair within the radius must
+    agree exactly on at least one chunk (pigeonhole), so candidates come
+    from equi-joins on chunks, never a cross join."""
     chunks = max_hamming + 1
     width = 64 // chunks
     chunk_arr = F.array(
         *[
-            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            F.shiftright(F.col(hash_col), i * width).bitwiseAND(F.lit((1 << width) - 1))
             for i in range(chunks)
         ]
     )
     # stack chunks into rows — one equi-join on (chunk_idx, chunk_value)
     stacked = sig.select(
-        F.col(id_col), F.col("simhash"), F.posexplode(chunk_arr).alias("__ci", "__ck")
+        F.col(id_col), F.col(hash_col), F.posexplode(chunk_arr).alias("__ci", "__ck")
     ).persist()
-    l = stacked.select(F.col(id_col).alias("d1"), F.col("simhash").alias("__s1"), "__ci", "__ck")
-    r = stacked.select(F.col(id_col).alias("d2"), F.col("simhash").alias("__s2"), "__ci", "__ck")
+    l = stacked.select(F.col(id_col).alias("d1"), F.col(hash_col).alias("__s1"), "__ci", "__ck")
+    r = stacked.select(F.col(id_col).alias("d2"), F.col(hash_col).alias("__s2"), "__ci", "__ck")
     hamming = F.bit_count(F.col("__s1").bitwiseXOR(F.col("__s2")))
     return (
         l.join(r, ["__ci", "__ck"])
@@ -271,3 +273,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius (see
+    :func:`hamming_band_pairs` for the banding scheme)."""
+    return hamming_band_pairs(simhash64(df, id_col, text_col), id_col, "simhash", max_hamming)

@@ -144,3 +144,52 @@ def resize_payload(df: DataFrame, id_col: str = "doc_id", factor: int = 4) -> Da
             )
 
     return df.select(id_col, "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Average-hash style 64-bit perceptual signature over binary
+    payloads: resample the byte stream into 64 buckets, set bit i when
+    bucket i's mean exceeds the global mean — the aHash recipe an image
+    pipeline applies to an 8×8 grayscale thumbnail, here applied to the
+    raw payload since decode is stubbed (decode_media).  Deterministic
+    (no RNG, pure arithmetic), Arrow-batched, one pass.
+
+    Near-identical payloads land within a few Hamming bits; pair them
+    with ``dedup.hamming_band_pairs`` — the multimodal twin of text
+    SimHash dedup."""
+    import numpy as np
+
+    def phash_one(b: bytes) -> int:
+        a = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float64)
+        if a.size == 0:
+            return 0
+        idx = np.arange(a.size) * 64 // a.size
+        sums = np.bincount(idx, weights=a, minlength=64)
+        cnts = np.maximum(np.bincount(idx, minlength=64), 1)
+        means = sums / cnts
+        bits = means > means.mean()
+        v = 0
+        for i in range(64):
+            if bits[i]:
+                v |= 1 << i
+        # wrap to signed int64 (Spark LongType)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "phash": pdf["payload"].map(phash_one).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(hashes, PHASH_SCHEMA)

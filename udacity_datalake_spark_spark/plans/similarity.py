@@ -160,3 +160,26 @@ def q60_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+@query("q148_media_phash_pairs")  # signature is engine-defined → rows-only check
+def q148_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup dedup: perceptual-hash (aHash-style 64-bit
+    signature over the binary payload, Arrow-batched) + the same
+    pigeonhole Hamming band join text SimHash uses — the image/audio
+    twin of q47.  Payload bytes reduce to 8-byte signatures BEFORE any
+    exchange, so the pair join shuffles signatures, never media.  Rows-
+    only driver check (the signature recipe is engine-defined);
+    determinism and identical-payload behavior are unit-tested."""
+    from udacity_datalake_spark_spark.operators.dedup import hamming_band_pairs
+    from udacity_datalake_spark_spark.operators.multimodal import (
+        perceptual_hash64,
+        with_binary_payload,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = perceptual_hash64(with_binary_payload(d), id_col="doc_id")
+    # radius 10 (11 bands of 5 bits): text-derived payloads are "far" in
+    # aHash space unless truly near-identical — a thumbnail pipeline
+    # would use its domain's radius with the same band algebra
+    return hamming_band_pairs(sig, "doc_id", "phash", max_hamming=10)
