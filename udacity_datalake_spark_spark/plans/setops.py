@@ -109,3 +109,48 @@ def q124_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderstatus", "o_orderpriority")
     b = o.where(F.col("o_orderkey") % 3 == 0).select("o_orderstatus", "o_orderpriority")
     return a.exceptAll(b)
+
+
+@query(
+    "q149_union_schema_evolution",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(NULL AS VARCHAR) AS o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, CAST(NULL AS VARCHAR), o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM u GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q149_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two feeds of the same table carrying
+    DIFFERENT column subsets combine with
+    ``unionByName(allowMissingColumns=True)`` — absent columns
+    null-extend, by NAME not position (the positional-union silent-swap
+    hazard).  The downstream aggregate groups over the union including
+    the null-extended cells — the everyday shape when a v2 feed adds or
+    drops columns mid-stream at 100 TB and both vintages must stay
+    queryable together."""
+    from udacity_datalake_spark_spark.functions.numeric import dec
+
+    o = read_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("revenue"),
+    )
