@@ -135,3 +135,45 @@ def q147_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q150_decayed_ltv",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+    terms AS (
+        SELECT user_id,
+               CAST(round(value * pow(0.95, date_diff('day', CAST(ts AS DATE), ref_day)), 9)
+                    AS DECIMAL(18,9)) AS term
+        FROM events CROSS JOIN mx
+        WHERE event_type = 'purchase'
+    )
+    SELECT user_id, CAST(round(CAST(sum(term) AS DOUBLE), 6) AS DOUBLE) AS ltv
+    FROM terms GROUP BY user_id
+    """,
+)
+def q150_decayed_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed lifetime value per user (half-life ≈ 13.5
+    days at 0.95/day): each purchase contributes value·0.95^age relative
+    to the corpus's latest day — the recency-weighted score a growth or
+    curriculum-sampling stage ranks users by.
+
+    The reference day is a single-row broadcast (no window needed); each
+    row's decay term is one pow() evaluated map-side, rounded to
+    DECIMAL(18,9) BEFORE the per-user sum so the aggregate is exact and
+    order-independent — float pow feeds decimal sum, never float sum.
+    """
+    e = read_table(spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
+    mx = e.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    term = F.round(
+        F.col("value")
+        * F.pow(F.lit(0.95), F.datediff(F.col("ref_day"), F.to_date("ts"))),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("ltv"))
+    )
