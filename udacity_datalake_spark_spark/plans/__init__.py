@@ -11,6 +11,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     grouping,
     joins_extra,
     pipeline_ops,
+    product_analytics,
     relational,
     scalar,
     scoring_ops,

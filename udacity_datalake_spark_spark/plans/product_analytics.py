@@ -1,0 +1,192 @@
+"""Product-analytics composites: sessionized funnels, concentration
+(Gini), and decile analysis — each composing operators the surface
+already proves (sessionization q65, funnel q126, window ranks q122,
+decayed LTV q150) into the reports a product team actually ships.
+
+Scale posture: every query reduces on its natural key FIRST (session,
+group, user) and runs ranking windows over the reduced frame; the only
+global windows operate on aggregates, never raw facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.functions.numeric import dec
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+
+@query(
+    "q151_session_funnel",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_seq,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT count(*) AS n_sessions,
+           sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+           sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                    THEN 1 ELSE 0 END) AS n_clicked_after_view,
+           sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                         AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS n_full_funnel
+    FROM per_session
+    """,
+)
+def q151_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session conversion funnel: sessionize (30-minute gap, q65's
+    integer-microsecond rewrite), then test view → click → purchase
+    ordering INSIDE each session — per-session conversion, the metric a
+    growth team tracks, where q126's funnel is per-user lifetime.
+
+    The whole query holds ONE user_id hash partitioning: both windows
+    and the per-session aggregate cluster on it (session_seq refines the
+    key), then a single global roll-up of four counters.  NULL
+    comparisons do the stage gating (``first_click > first_view`` is
+    NULL-false when either is missing) identically on both engines.
+    """
+    e = read_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = e.select(
+        "user_id", "ts", "event_type", F.sum(new_s).over(run).alias("session_seq")
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    full = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("n_viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("n_clicked_after_view"),
+        F.sum(F.when(full, 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "q152_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey) AS i,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    )
+    SELECT o_orderstatus, n,
+           round((2.0 * CAST(sum(i * v) AS DOUBLE)) / (n * CAST(sum(v) AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM ranked GROUP BY o_orderstatus, n
+    """,
+)
+def q152_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per status — revenue-concentration
+    (inequality) analysis: G = 2·Σ(i·vᵢ)/(n·Σvᵢ) − (n+1)/n over values
+    sorted ascending.
+
+    Ranks come from one per-group window (ties broken by order key, so
+    both engines rank identically — Σ i·vᵢ is then well-defined), the
+    two sums accumulate in DECIMAL, and the closed form evaluates once
+    per group in double.  One hash exchange on the group key.
+    """
+    o = read_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        dec("o_totalprice", 18, 2).alias("v"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    n = F.col("n")
+    return ranked.groupBy("o_orderstatus", "n").agg(
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("v")).cast("double"))
+            / (n * F.sum("v").cast("double"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini")
+    )
+
+
+@query(
+    "q153_ltv_deciles",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+    terms AS (
+        SELECT user_id,
+               CAST(round(value * pow(0.95, date_diff('day', CAST(ts AS DATE), ref_day)), 9)
+                    AS DECIMAL(18,9)) AS term
+        FROM events CROSS JOIN mx
+        WHERE event_type = 'purchase'
+    ),
+    ltv AS (
+        SELECT user_id, sum(term) AS ltv_dec FROM terms GROUP BY user_id
+    ),
+    tiled AS (
+        SELECT user_id, ltv_dec,
+               ntile(10) OVER (ORDER BY ltv_dec DESC, user_id) AS decile
+        FROM ltv
+    )
+    SELECT decile,
+           count(*) AS n_users,
+           CAST(round(CAST(sum(ltv_dec) AS DOUBLE), 6) AS DOUBLE) AS decile_ltv
+    FROM tiled GROUP BY decile
+    """,
+)
+def q153_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile analysis over decayed LTV (q150's score): rank users into
+    10 tiles by score and report each tile's user count and total value
+    — the "top 10% of users hold X% of value" report.
+
+    The ntile window runs over the per-user AGGREGATE (one row per user,
+    never raw events) with a deterministic (score, user_id) order on the
+    exact decimal score; the decile totals stay decimal until the final
+    per-tile cast.
+    """
+    e = read_table(spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
+    mx = e.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    term = F.round(
+        F.col("value") * F.pow(F.lit(0.95), F.datediff(F.col("ref_day"), F.to_date("ts"))),
+        9,
+    ).cast("decimal(18,9)")
+    ltv = (
+        e.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(F.sum("term").alias("ltv_dec"))
+    )
+    w = Window.orderBy(F.col("ltv_dec").desc(), "user_id")
+    tiled = ltv.select("user_id", "ltv_dec", F.ntile(10).over(w).alias("decile"))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("ltv_dec").cast("double"), 6).alias("decile_ltv"),
+    )
