@@ -184,3 +184,61 @@ def q142_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(counts, "bin", "left")
         .select((F.col("bin") * 50000).alias("bin_lo"), F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+@query(
+    "q154_point_in_time_join",
+    oracle="""
+    WITH dedup AS (
+        SELECT user_id, ts, event_type FROM (
+            SELECT user_id, ts, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_type) AS prev
+            FROM events WHERE event_type <> 'purchase'
+        ) WHERE prev IS NULL OR event_type <> prev
+    ),
+    dim AS (
+        SELECT user_id, ts AS valid_from, max(event_type) AS state
+        FROM dedup GROUP BY user_id, ts
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (
+        SELECT p.event_id, d.state,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY d.valid_from DESC) AS rn
+        FROM p JOIN dim d ON p.user_id = d.user_id AND d.valid_from <= p.ts
+    )
+    SELECT state, count(*) AS n_purchases
+    FROM j WHERE rn = 1 GROUP BY state
+    """,
+)
+def q154_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join: each purchase picks up
+    the SCD2 state (q111's dimension, built from the non-purchase
+    changelog) that was valid AT its event time — the dimensional-
+    modeling join that makes history-preserving dims queryable.
+
+    The engine path is the as-of operator (operators.joins.asof_join):
+    union + one (user_id) window carrying the last-seen state forward —
+    one exchange, no interval cross join (the oracle's join+row_number
+    is exactly that quadratic shape).  Same-instant state changes
+    collapse deterministically (max state wins) on both sides before
+    the as-of, so ties cannot differ.
+    """
+    from udacity_datalake_spark_spark.operators.joins import asof_join
+    from udacity_datalake_spark_spark.operators.scd import scd2
+
+    e = read_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    changes = e.where(F.col("event_type") != "purchase").select("user_id", "ts", "event_type")
+    hist = scd2(changes, key="user_id", ts="ts", attrs=["event_type"])
+    dim = (
+        hist.select("user_id", "valid_from", F.col("event_type").alias("state"))
+        .groupBy("user_id", "valid_from")
+        .agg(F.max("state").alias("state"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    joined = asof_join(purchases, dim, on=["user_id"], left_ts="ts", right_ts="valid_from")
+    return (
+        joined.where(F.col("state").isNotNull())
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
