@@ -57,6 +57,10 @@ HEADLINE = [
     "q134_pareto_frontier",
     "q137_weighted_median",
     "q143_pmi_cooccurrence",
+    "q145_rolling_active_users",
+    "q151_session_funnel",
+    "q154_point_in_time_join",
+    "q155_sparse_cosine_pairs",
 ]
 
 

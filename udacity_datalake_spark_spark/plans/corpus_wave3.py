@@ -151,3 +151,97 @@ def q144_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.sum("delta").over(w).alias("occupancy")
     )
     return curve.groupBy("event_type").agg(F.max("occupancy").alias("peak_concurrency"))
+
+@query(
+    "q155_sparse_cosine_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+        SELECT doc_id, term,
+               CAST(round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS DECIMAL(18,6)) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    topw AS (
+        SELECT doc_id, term, w FROM (
+            SELECT doc_id, term, w,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY w DESC, term) AS rn
+            FROM w
+        ) WHERE rn <= 10
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM topw GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+        FROM topw a JOIN topw b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON d1 = na.doc_id
+    JOIN norms nb ON d2 = nb.doc_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.5
+    """,
+)
+def q155_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs (cos ≥ 0.5) over each doc's
+    top-10 distinctive terms — the SPARSE twin of q56's dense embedding
+    similarity, and the lexical-similarity join an IR dedup stage runs
+    when no embeddings exist.
+
+    Docs reduce to 10 (term, weight) postings BEFORE any pairing, so the
+    term-keyed pair join is bounded by postings², concentrated on shared
+    distinctive terms; weights round to DECIMAL(18,6) at birth, making
+    dot products and norms exact decimal sums with ONE double
+    division+round per pair at the end.  Keys are (doc, term) and term
+    throughout — no global state, no cross join.
+    """
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
+    )
+    topw = w.withColumn("rn", rn).where(F.col("rn") <= 10).select("doc_id", "term", "w")
+    norms = topw.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = topw.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("wa"))
+    b = topw.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("na")), "d1")
+        .join(norms.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nb")), "d2")
+        .where(cos >= 0.5)
+        .select("d1", "d2", F.round(cos, 6).alias("cosine"))
+    )
