@@ -190,3 +190,52 @@ def q153_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.sum("ltv_dec").cast("double"), 6).alias("decile_ltv"),
     )
+
+
+@query(
+    "q156_pareto_share",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n_chars) OVER (PARTITION BY source) AS total
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN 5 * (cum - n_chars) < 4 * total THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_for_80pct
+    FROM ranked GROUP BY source
+    """,
+)
+def q156_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 concentration report: per source, how many of the largest
+    documents it takes to cover 80% of the source's characters — the
+    "which sources are head-heavy" signal a mixing stage reads before
+    re-weighting.
+
+    One (source) exchange serves both windows and the final aggregate; a
+    doc counts while the cumulative total BEFORE it is still under the
+    threshold (strictly-less on ``5·prev_cum < 4·total`` — pure int64,
+    no float boundary), so ties and exact-80% edges resolve identically
+    on both engines.
+    """
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w_cum).alias("cum"),
+        F.sum("n_chars").over(w_all).alias("total"),
+    )
+    counted = F.when(5 * (F.col("cum") - F.col("n_chars")) < 4 * F.col("total"), 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(counted).alias("docs_for_80pct"),
+    )
