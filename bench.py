@@ -60,7 +60,10 @@ HEADLINE = [
     "q145_rolling_active_users",
     "q151_session_funnel",
     "q154_point_in_time_join",
-    "q155_sparse_cosine_pairs",
+    # q155 (sparse cosine) is deliberately NOT a headline query: on the
+    # synthetic corpus's ~30-term vocabulary every doc shares its "top"
+    # terms with most others, so the qualifying-pair OUTPUT itself is
+    # quadratic (~1M pairs at sf0.1) — output-bound, not plan-bound.
 ]
 
 

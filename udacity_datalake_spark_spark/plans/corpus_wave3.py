@@ -202,6 +202,14 @@ def q155_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot products and norms exact decimal sums with ONE double
     division+round per pair at the end.  Keys are (doc, term) and term
     throughout — no global state, no cross join.
+
+    Cost caveat: pair count is bounded by Σ postings(t)² over the
+    top-term postings lists.  On a real Zipfian vocabulary those lists
+    are short; on this synthetic ~30-term corpus most docs share their
+    "distinctive" terms, so the qualifying-pair OUTPUT is itself
+    near-quadratic — which is why this is a correctness query, not a
+    bench headline.  A production run adds a posting-length cap
+    (mirrored in the oracle) to bound ubiquitous terms.
     """
     d = read_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
