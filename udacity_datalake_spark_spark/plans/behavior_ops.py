@@ -232,3 +232,104 @@ def q131_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(change_type.alias("change_type")).groupBy("change_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "q157_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def q157_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for each FK relation (lineitem→orders, orders→customer,
+    customer→nation) — the cross-table constraint check q72's value-level
+    DQ report doesn't cover.
+
+    Each relation is one LEFT ANTI join + count: the fact side streams,
+    the key side reduces to join keys only (column pruning to one
+    column), and the small parents broadcast.  N relations audit in one
+    job; nothing is collected beyond N counter rows.
+    """
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+    o = read_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    c = read_table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    n = read_table(spark, sf_dir, "nation", columns=["n_nationkey"])
+
+    def orphans(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str, name: str):
+        return (
+            child.join(
+                parent.select(F.col(parent_key).alias(child_key)), child_key, "left_anti"
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("relation"), "n_orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(o.select("o_custkey"), "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(orphans(c.select("c_nationkey"), "c_nationkey", n, "n_nationkey", "customer->nation"))
+    )
+
+
+@query(
+    "q158_uniqueness_audit",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS key_name,
+           count(*) AS n_violating_keys,
+           COALESCE(CAST(sum(cnt - 1) AS BIGINT), 0) AS n_excess_rows
+    FROM (SELECT o_orderkey, count(*) AS cnt FROM orders
+          GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           count(*),
+           COALESCE(CAST(sum(cnt - 1) AS BIGINT), 0)
+    FROM (SELECT l_orderkey, l_linenumber, count(*) AS cnt FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'events.event_id',
+           count(*),
+           COALESCE(CAST(sum(cnt - 1) AS BIGINT), 0)
+    FROM (SELECT event_id, count(*) AS cnt FROM events
+          GROUP BY event_id HAVING count(*) > 1)
+    """,
+)
+def q158_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: for each declared key, how many key
+    values are duplicated and how many excess rows they carry — the
+    load-time sanity check before any MERGE/SCD stage trusts the key.
+
+    One map-side-combined aggregate per key (the HAVING filter runs
+    reduce-side, so only violating keys survive the exchange), then a
+    counter roll-up; auditing K keys is K aggregates over pruned
+    single/double-column scans, no full-width reads.
+    """
+
+    def audit(df: DataFrame, keys: list[str], name: str):
+        viol = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt")).where(F.col("cnt") > 1)
+        return viol.agg(
+            F.count(F.lit(1)).alias("n_violating_keys"),
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("bigint").alias("n_excess_rows"),
+        ).select(F.lit(name).alias("key_name"), "n_violating_keys", "n_excess_rows")
+
+    o = read_table(spark, sf_dir, "orders", columns=["o_orderkey"])
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    e = read_table(spark, sf_dir, "events", columns=["event_id"])
+    return (
+        audit(o, ["o_orderkey"], "orders.o_orderkey")
+        .unionByName(audit(li, ["l_orderkey", "l_linenumber"], "lineitem.(l_orderkey,l_linenumber)"))
+        .unionByName(audit(e, ["event_id"], "events.event_id"))
+    )
