@@ -333,3 +333,59 @@ def q158_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(li, ["l_orderkey", "l_linenumber"], "lineitem.(l_orderkey,l_linenumber)"))
         .unionByName(audit(e, ["event_id"], "events.event_id"))
     )
+
+
+@query(
+    "q159_skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+        SELECT count(*) AS n_keys, CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_cnt,
+               max(cnt) AS max_cnt
+        FROM per_key
+    )
+    SELECT l_orderkey, cnt,
+           round(cnt / mean_cnt, 6) AS skew_ratio,
+           n_keys, max_cnt
+    FROM (
+        SELECT l_orderkey, cnt,
+               row_number() OVER (ORDER BY cnt DESC, l_orderkey) AS rn
+        FROM per_key
+    ) CROSS JOIN stats
+    WHERE rn <= 10
+    """,
+)
+def q159_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the 10 heaviest l_orderkey values with
+    their multiplicity and ratio to the mean key weight — the
+    observability report that decides whether a join needs q38's full
+    salting, q109's hot-key-only salting, or nothing.
+
+    One map-side-combined count per key, a single-row stats frame
+    (broadcast), and a top-k window over the already-reduced key frame
+    with a deterministic (count, key) order.  This is exactly the
+    sampled detection step inside hot_key_salted_join, exposed as a
+    standalone audit.
+    """
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_cnt"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "l_orderkey")
+    return (
+        per_key.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("mean_cnt"), 6).alias("skew_ratio"),
+            "n_keys",
+            "max_cnt",
+        )
+    )
