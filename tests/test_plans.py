@@ -287,3 +287,34 @@ def test_snapshot_diff_no_nested_loop(spark, sf_dir):
     nodes = join_nodes(QUERIES["q131_snapshot_diff"](spark, sf_dir))
     assert nodes, "no join planned"
     assert "BroadcastNestedLoopJoin" not in nodes and "CartesianProduct" not in nodes, nodes
+
+
+# queries whose PLAN legitimately crosses into a Python worker: the
+# deliberate pandas/Arrow paths (multimodal decode plumbing, BLAS
+# matmul similarity, custom grouped logic).  Everything else on the
+# 159-query surface must stay inside whole-stage codegen.
+PANDAS_ALLOWLIST = {
+    "q48_ann_bruteforce",
+    "q49_ann_lsh",
+    "q50_multimodal_features",
+    "q51_grouped_pandas",
+    "q56_embedding_near_dup",
+    "q57_frame_sample",
+    "q60_ann_ivf",
+    "q103_embedding_clusters",
+    "q148_media_phash_pairs",
+}
+
+
+def test_every_query_is_jvm_side_unless_allowlisted(spark, sf_dir):
+    """Engine-wide invariant: no registered query sneaks a Python eval
+    node into its plan unless it is one of the declared pandas paths —
+    a regression here silently turns a codegen pipeline into a
+    serialize-to-Python bottleneck at 100 TB."""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name in PANDAS_ALLOWLIST:
+            continue
+        if has_python_eval(fn(spark, sf_dir)):
+            offenders.append(name)
+    assert not offenders, f"unexpected Python eval nodes in: {offenders}"
