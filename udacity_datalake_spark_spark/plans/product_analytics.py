@@ -239,3 +239,108 @@ def q156_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(counted).alias("docs_for_80pct"),
     )
+
+
+@query(
+    "q160_last_touch_attribution",
+    oracle="""
+    WITH touches AS (
+        SELECT user_id, ts AS touch_ts, event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+        SELECT p.event_id, p.v, t.channel,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY t.touch_ts DESC, t.channel DESC) AS rn
+        FROM purchases p
+        JOIN touches t ON p.user_id = t.user_id AND t.touch_ts <= p.ts
+    )
+    SELECT channel,
+           count(*) AS n_purchases,
+           CAST(sum(v) AS DOUBLE) AS attributed_revenue
+    FROM attributed WHERE rn = 1 GROUP BY channel
+    """,
+)
+def q160_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value goes to the
+    user's most recent preceding view/click — the marketing report built
+    on the same as-of machinery as q154, but attributing VALUE instead
+    of state.
+
+    Engine path: one as-of join (union + user_id window, single
+    exchange) carries the last-seen channel onto each purchase; ties at
+    the same instant resolve to the max channel name on both sides.
+    The oracle's join + row_number form is the quadratic shape the
+    as-of rewrite avoids.
+    """
+    from udacity_datalake_spark_spark.operators.joins import asof_join
+
+    e = read_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    touches = (
+        e.where(F.col("event_type").isin("view", "click"))
+        .select("user_id", F.col("ts").alias("touch_ts"), F.col("event_type").alias("channel"))
+        # same-instant touches collapse deterministically (max channel),
+        # mirroring the oracle's (touch_ts DESC, channel DESC) tie-break
+        .groupBy("user_id", "touch_ts")
+        .agg(F.max("channel").alias("channel"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", dec("value", 18, 2).alias("v")
+    )
+    attributed = asof_join(purchases, touches, on=["user_id"], left_ts="ts", right_ts="touch_ts")
+    return (
+        attributed.where(F.col("channel").isNotNull())
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v").cast("double").alias("attributed_revenue"),
+        )
+    )
+
+
+@query(
+    "q161_time_to_convert",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(floor((epoch_us(first_purchase) - epoch_us(first_view))
+                      / 86400000000.0) AS BIGINT) AS days_to_convert,
+           count(*) AS n_users
+    FROM per_user
+    WHERE first_view IS NOT NULL AND first_purchase > first_view
+    GROUP BY days_to_convert
+    """,
+)
+def q161_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: whole days between a user's first
+    view and first purchase, bucketed — the activation-latency histogram
+    next to q126's funnel counts.
+
+    One conditional aggregate per user (single exchange), integer
+    microsecond arithmetic for the latency (identical floor semantics on
+    both engines), and a tiny bucket-count roll-up.
+    """
+    e = read_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    days = F.floor(
+        (F.unix_micros(F.col("first_purchase")) - F.unix_micros(F.col("first_view")))
+        / 86_400_000_000.0
+    ).cast("bigint")
+    return (
+        per_user.where(
+            F.col("first_view").isNotNull() & (F.col("first_purchase") > F.col("first_view"))
+        )
+        .groupBy(days.alias("days_to_convert"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
