@@ -344,3 +344,62 @@ def q161_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(days.alias("days_to_convert"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "q162_linear_attribution",
+    oracle="""
+    WITH touches AS (
+        SELECT user_id, ts AS touch_ts, event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+        SELECT p.event_id, p.value, t.channel,
+               count(*) OVER (PARTITION BY p.event_id) AS n_touches
+        FROM purchases p
+        JOIN touches t ON p.user_id = t.user_id AND t.touch_ts <= p.ts
+    )
+    SELECT channel,
+           count(*) AS n_shares,
+           CAST(sum(CAST(round(value / n_touches, 6) AS DECIMAL(18,6)))
+                AS DOUBLE) AS attributed_revenue
+    FROM joined GROUP BY channel
+    """,
+)
+def q162_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (multi-touch) attribution: each purchase's value splits
+    EQUALLY across every preceding touch — q160's last-touch twin, the
+    other standard marketing model.
+
+    The purchase↔touch join stays user-keyed (per-user touch × purchase
+    products, bounded by per-user activity, never a global blow-up); the
+    per-purchase touch count comes from one window over the joined frame
+    on the same key; each share rounds to DECIMAL(18,6) BEFORE the
+    channel sum so allocation is exact and order-independent.
+    """
+    e = read_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    touches = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("touch_ts"), F.col("event_type").alias("channel")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = (
+        purchases.join(touches, "user_id")
+        .where(F.col("touch_ts") <= F.col("ts"))
+        .select(
+            "event_id",
+            "value",
+            "channel",
+            F.count(F.lit(1)).over(Window.partitionBy("event_id")).alias("n_touches"),
+        )
+    )
+    share = F.round(F.col("value") / F.col("n_touches"), 6).cast("decimal(18,6)")
+    return joined.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_shares"),
+        F.sum(share).cast("double").alias("attributed_revenue"),
+    )
