@@ -403,3 +403,51 @@ def q162_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shares"),
         F.sum(share).cast("double").alias("attributed_revenue"),
     )
+
+
+@query(
+    "q163_repurchase_intervals",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(floor((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 86400000000.0)
+                    AS BIGINT) AS gap_days
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT count(*) AS n_intervals,
+           round(quantile_cont(gap_days, 0.5), 6) AS median_gap_days,
+           round(quantile_cont(gap_days, 0.9), 6) AS p90_gap_days,
+           min(gap_days) AS min_gap_days,
+           max(gap_days) AS max_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+)
+def q163_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: whole-day gaps between a user's
+    consecutive purchases, summarized as median/p90/min/max — the
+    replenishment-cycle metric behind churn prediction windows.
+
+    One lag() over each user's purchase timeline (single exchange, the
+    event-type filter pushed into the scan), integer-microsecond gap
+    math, then a global exact-percentile roll-up over the small interval
+    frame (one row per repeat purchase, not per event).
+    """
+    e = read_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / 86_400_000_000.0
+    ).cast("bigint")
+    gaps = (
+        e.where(F.col("event_type") == "purchase")
+        .select(gap.alias("gap_days"))
+        .where(F.col("gap_days").isNotNull())
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 6).alias("median_gap_days"),
+        F.round(F.percentile("gap_days", F.lit(0.9)), 6).alias("p90_gap_days"),
+        F.min("gap_days").alias("min_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
