@@ -389,3 +389,46 @@ def q159_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cnt",
         )
     )
+
+
+@query(
+    "q164_churn_snapshot",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+    last_seen AS (
+        SELECT user_id, max(CAST(ts AS DATE)) AS last_day FROM events GROUP BY user_id
+    )
+    SELECT CASE WHEN date_diff('day', last_day, ref_day) <= 7 THEN 'active_7d'
+                WHEN date_diff('day', last_day, ref_day) <= 14 THEN 'cooling_8_14d'
+                WHEN date_diff('day', last_day, ref_day) <= 28 THEN 'at_risk_15_28d'
+                ELSE 'churned_29d_plus' END AS segment,
+           count(*) AS n_users
+    FROM last_seen CROSS JOIN mx
+    GROUP BY segment
+    """,
+)
+def q164_churn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency segmentation (churn snapshot): users bucketed by days
+    since last activity relative to the corpus's latest day — the
+    active / cooling / at-risk / churned split a retention team tracks
+    daily.
+
+    One per-user max (map-side combined), a single-row reference-day
+    broadcast, and integer day arithmetic into four CASE buckets — the
+    entire fact collapses to one row per user before any further work.
+    """
+    e = read_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    mx = e.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    last_seen = e.groupBy("user_id").agg(F.max(F.to_date("ts")).alias("last_day"))
+    inactive = F.datediff(F.col("ref_day"), F.col("last_day"))
+    segment = (
+        F.when(inactive <= 7, "active_7d")
+        .when(inactive <= 14, "cooling_8_14d")
+        .when(inactive <= 28, "at_risk_15_28d")
+        .otherwise("churned_29d_plus")
+    )
+    return (
+        last_seen.crossJoin(F.broadcast(mx))
+        .groupBy(segment.alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
