@@ -91,6 +91,10 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # operator-internal persist() frames (dedup/similarity multi-branch
+        # plans) are scoped to one query — drop them so a long session's
+        # cache doesn't accumulate across the run
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

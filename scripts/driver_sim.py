@@ -48,6 +48,10 @@ def main() -> None:
         except Exception as ex:
             failures.append(name)
             print(f"  {name}: FAIL — {ex}")
+        finally:
+            # drop operator-internal persist() frames between queries so a
+            # 160-query session doesn't accumulate cache (session aging)
+            spark.catalog.clearCache()
     print(f"\n{n_ok} oracle-matched, {n_rows_only} rows-only, {len(failures)} failed")
     if failures:
         sys.exit(1)

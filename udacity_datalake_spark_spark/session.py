@@ -68,6 +68,12 @@ def get_session(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
+        # shuffle files / broadcasts are reclaimed by the ContextCleaner
+        # only after a driver GC notices the dead references; with a big
+        # heap GC is rare, so long multi-query sessions accumulate
+        # gigabytes of shuffle dirs and slow down (session aging).
+        # Force a periodic GC so cleanup keeps pace.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
