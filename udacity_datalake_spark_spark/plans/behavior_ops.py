@@ -432,3 +432,41 @@ def q164_churn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(segment.alias("segment"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "q165_growth_accounting",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT a.day,
+           sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS n_new,
+           sum(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END) AS n_returning
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY a.day
+    """,
+)
+def q165_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, how many active users are brand-new
+    versus returning — the daily companion to q127's cohort triangle.
+
+    Same scale shape as retention: the fact reduces to distinct
+    (user, day) and a per-user first-day frame on ONE user_id
+    partitioning before the join; the final aggregate is day-keyed over
+    the already-reduced frame.
+    """
+    e = read_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)).alias("n_returning"),
+        )
+    )
