@@ -451,3 +451,75 @@ def q163_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").alias("min_gap_days"),
         F.max("gap_days").alias("max_gap_days"),
     )
+
+
+@query(
+    "q166_ab_test_lift",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN CAST(md5(CAST(user_id AS VARCHAR)) AS VARCHAR) < '8'
+                    THEN 'A' ELSE 'B' END AS variant,
+               max(CASE WHEN event_type = 'purchase' AND value > 280 THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT variant, count(*) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               CAST(sum(converted) AS DOUBLE) / count(*) AS rate
+        FROM assigned GROUP BY variant
+    )
+    SELECT a.n_users AS n_a, a.n_converted AS conv_a, round(a.rate, 6) AS rate_a,
+           b.n_users AS n_b, b.n_converted AS conv_b, round(b.rate, 6) AS rate_b,
+           round(b.rate - a.rate, 6) AS abs_lift,
+           round((b.rate - a.rate)
+                 / nullif(sqrt((CAST(a.n_converted + b.n_converted AS DOUBLE) / (a.n_users + b.n_users))
+                        * (1 - CAST(a.n_converted + b.n_converted AS DOUBLE) / (a.n_users + b.n_users))
+                        * (1.0 / a.n_users + 1.0 / b.n_users)), 0.0), 6) AS z_stat
+    FROM (SELECT * FROM arms WHERE variant = 'A') a
+    CROSS JOIN (SELECT * FROM arms WHERE variant = 'B') b
+    """,
+)
+def q166_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout: users split deterministically by the
+    first md5 nibble of their id (reproducible arms, no RNG — the same
+    hash-assignment discipline as q64's splits), purchase conversion per
+    arm, absolute lift, and the pooled two-proportion z-statistic.
+
+    One per-user aggregate (conversion is max-of-flag, map-side
+    combined), a two-row arm frame, and the closed-form z evaluated once
+    over exact integer counts — the experimentation readout is a
+    constant-size result at any traffic volume.
+    """
+    e = read_table(spark, sf_dir, "events", columns=["user_id", "event_type", "value"])
+    assigned = e.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 280), 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", "A").otherwise("B").alias("variant"),
+        "converted",
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("rate"),
+    )
+    a = arms.where(F.col("variant") == "A").select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("conv_a"), F.col("rate").alias("rate_a")
+    )
+    b = arms.where(F.col("variant") == "B").select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("conv_b"), F.col("rate").alias("rate_b")
+    )
+    j = a.crossJoin(b)
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (F.col("rate_b") - F.col("rate_a")) / F.nullif(
+        F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))), F.lit(0.0)
+    )
+    return j.select(
+        "n_a", "conv_a", F.round("rate_a", 6).alias("rate_a"),
+        "n_b", "conv_b", F.round("rate_b", 6).alias("rate_b"),
+        F.round(F.col("rate_b") - F.col("rate_a"), 6).alias("abs_lift"),
+        F.round(z, 6).alias("z_stat"),
+    )
