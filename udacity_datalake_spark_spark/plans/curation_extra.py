@@ -264,3 +264,45 @@ def q110_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "q167_weighted_sample_wor",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(round(pow((CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) + 0.5)
+                              / 1048576.0, 1.0 / n_chars), 9) AS DECIMAL(18,9)) AS k
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+        FROM keyed
+    ) WHERE rn <= 50
+    """,
+)
+def q167_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    each doc draws key u^(1/w) from a deterministic uniform u (the q80/q83
+    multiplicative-hash rational, no RNG) with weight = document length;
+    the top-50 keys are the sample.  Complements q101's weighted
+    Bernoulli (with-replacement semantics) — WOR is what a fixed-budget
+    curation pass needs.
+
+    Keys compute map-side (one pow per row over exact int-derived
+    operands), round to DECIMAL(18,9) so the top-k cut is bit-stable
+    across engines, and tie-break on doc_id.  The global top-50 runs on
+    the keyed frame; at 100 TB the same cut is per-partition top-k then
+    merge (the associativity top-k always has).
+    """
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1048576)).cast("double") + 0.5
+    key = F.round(F.pow(u / F.lit(1048576.0), 1.0 / F.col("n_chars")), 9).cast("decimal(18,9)")
+    w = Window.orderBy(F.col("k").desc(), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("k"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "lang", "n_chars")
+    )
