@@ -253,3 +253,52 @@ def q155_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= 0.5)
         .select("d1", "d2", F.round(cos, 6).alias("cosine"))
     )
+
+
+@query(
+    "q168_skipgram_counts",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    idx AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM t),
+    tok AS (SELECT doc_id, i AS pos, arr[i] AS term FROM idx),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b, count(*) AS n
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id
+         AND b.pos - a.pos BETWEEN 1 AND 3
+        GROUP BY 1, 2
+    )
+    SELECT term_a, term_b, n FROM (
+        SELECT term_a, term_b, n,
+               row_number() OVER (ORDER BY n DESC, term_a, term_b) AS rn
+        FROM pairs
+    ) WHERE rn <= 20
+    """,
+)
+def q168_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 positional skip-grams (ordered token pairs within a
+    3-token forward window) — the word2vec-style co-occurrence counts a
+    static-embedding or collocation stage trains from, complementing
+    q143's document-level PMI with POSITION-aware context.
+
+    The token self-join is doc-keyed (hash join on doc_id, the position
+    band as a residual filter), so pair generation is per-document work
+    ~3·len; the (term_a, term_b) count aggregate combines map-side, and
+    the deterministic top-k runs on the vocabulary-pair frame.
+    """
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term"))
+    a = tok.select("doc_id", F.col("pos").alias("pos_a"), F.col("term").alias("term_a"))
+    b = tok.select("doc_id", F.col("pos").alias("pos_b"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where((F.col("pos_b") - F.col("pos_a")).between(1, 3))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "term_a", "term_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("term_a", "term_b", "n")
+    )
