@@ -306,3 +306,83 @@ def q167_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "q169_znorm_quality_rank",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               CAST(n_chars AS BIGINT) AS f1,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS f2
+        FROM documents
+    ),
+    stats AS (
+        SELECT lang, count(*) AS n,
+               CAST(sum(CAST(f1 AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(f1 AS DECIMAL(18,0)) * CAST(f1 AS DECIMAL(18,0))) AS DOUBLE) AS q1,
+               CAST(sum(CAST(f2 AS DECIMAL(18,0))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(f2 AS DECIMAL(18,0)) * CAST(f2 AS DECIMAL(18,0))) AS DOUBLE) AS q2
+        FROM feats GROUP BY lang
+    ),
+    scored AS (
+        SELECT f.doc_id, f.lang,
+               round((f.f1 - s1 / n) / sqrt((q1 - s1 * s1 / n) / (n - 1))
+                     + (f.f2 - s2 / n) / sqrt((q2 - s2 * s2 / n) / (n - 1)), 6) AS zscore
+        FROM feats f JOIN stats USING (lang)
+        WHERE n > 1 AND (q1 - s1 * s1 / n) > 0 AND (q2 - s2 * s2 / n) > 0
+    )
+    SELECT doc_id, lang, zscore FROM (
+        SELECT doc_id, lang, zscore,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY zscore DESC, doc_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q169_znorm_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-normalized composite quality ranking: two features
+    (char length, token count) standardized WITHIN each language and
+    summed — cross-lingual comparable scoring, since raw lengths aren't
+    comparable across languages — then top-5 per language.
+
+    The per-language mean/std come from q128's decimal power-sum recipe
+    (count, Σx, Σx² in DECIMAL; one double closed form per group), the
+    stats frame broadcasts back onto the docs, and each row's z is a
+    fixed IEEE expression over identical operands on both engines.
+    Rounded scores + doc_id tie-break make the per-lang top-5 cut
+    deterministic.
+    """
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "text", "n_chars"])
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("f1"),
+        F.size(F.split("text", " ")).cast("bigint").alias("f2"),
+    )
+    d1, d2 = F.col("f1").cast("decimal(18,0)"), F.col("f2").cast("decimal(18,0)")
+    stats = feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d1).cast("double").alias("s1"),
+        F.sum(d1 * d1).cast("double").alias("q1"),
+        F.sum(d2).cast("double").alias("s2"),
+        F.sum(d2 * d2).cast("double").alias("q2"),
+    )
+    n, s1, q1, s2, q2 = (F.col(c) for c in ["n", "s1", "q1", "s2", "q2"])
+    var1, var2 = (q1 - s1 * s1 / n), (q2 - s2 * s2 / n)
+    z = F.round(
+        (F.col("f1") - s1 / n) / F.sqrt(var1 / (n - 1))
+        + (F.col("f2") - s2 / n) / F.sqrt(var2 / (n - 1)),
+        6,
+    )
+    scored = (
+        feats.join(F.broadcast(stats), "lang")
+        .where((n > 1) & (var1 > 0) & (var2 > 0))
+        .select("doc_id", "lang", z.alias("zscore"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("zscore").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "lang", "zscore")
+    )
