@@ -386,3 +386,72 @@ def q169_znorm_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("doc_id", "lang", "zscore")
     )
+
+
+@query(
+    "q170_packing_efficiency",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id % 16 AS shard, doc_id,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), p AS (
+        SELECT source, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        FROM t
+    ), bins AS (
+        SELECT source, shard, CAST(floor(start_off / 2048.0) AS BIGINT) AS bin_id,
+               sum(n_tokens) AS bin_tokens
+        FROM p GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(CAST(ceil(CAST(sum(bin_tokens) AS DOUBLE) / 2048) AS BIGINT)
+                AS BIGINT) AS lower_bound_bins,
+           round(CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * 2048.0), 6)
+               AS fill_rate
+    FROM bins GROUP BY source
+    """,
+)
+def q170_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over q110's context-window packing: per
+    source, bins used vs the ⌈total/capacity⌉ lower bound and the token
+    fill rate — the metric that tells a training pipeline how much
+    compute its packing strategy wastes (operators evaluating operators).
+
+    Same single (source, shard) exchange as q110; the report is a
+    two-level roll-up of the bin frame, with one double division per
+    source at the end.
+    """
+    from udacity_datalake_spark_spark.operators.text import token_count
+    from udacity_datalake_spark_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    t = d.select(
+        "source",
+        F.pmod("doc_id", F.lit(16)).alias("shard"),
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = t.withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    bins = p.groupBy(
+        "source",
+        "shard",
+        F.floor(F.col("start_off") / F.lit(2048.0)).cast("long").alias("bin_id"),
+    ).agg(F.sum("n_tokens").alias("bin_tokens"))
+    return bins.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+        F.ceil(F.sum("bin_tokens").cast("double") / 2048).cast("bigint").alias("lower_bound_bins"),
+        F.round(
+            F.sum("bin_tokens").cast("double") / (F.count(F.lit(1)) * 2048.0), 6
+        ).alias("fill_rate"),
+    )
