@@ -24,6 +24,20 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
     oracle_pdf = run_oracle(ORACLE_SQL[name], sf_dir)
     assert_frames_match(spark_pdf, oracle_pdf, rtol=RTOL_OVERRIDES.get(name, 0.0))
+    # The driver's value-hash does NOT coerce numeric dtypes the way
+    # assert_frames_match does: a DuckDB HUGEINT sum arriving as float64
+    # against a Spark int64 hash-diverges (5 vs 5.0) even when every value
+    # is equal.  Guard the whole registry against that drift class: no
+    # oracle column may come back float where the Spark twin is integral
+    # (or vice versa).  Fix is CAST(sum(...) AS BIGINT) in the oracle SQL.
+    for c in oracle_pdf.columns:
+        sk, ok = spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind
+        if sk != ok and {sk, ok} & {"i", "u", "f"} and not ({sk, ok} <= {"i", "u"}):
+            raise AssertionError(
+                f"driver-hash dtype drift in {name!r} column {c!r}: "
+                f"spark {spark_pdf[c].dtype} vs oracle {oracle_pdf[c].dtype} "
+                f"(wrap the oracle expression in CAST(... AS BIGINT) or align types)"
+            )
 
 
 def test_entry_smoke(spark):

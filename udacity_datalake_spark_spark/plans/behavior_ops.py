@@ -139,8 +139,8 @@ def q127_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, n_types_seen FROM (
         SELECT event_id, user_id,
-               sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS n_types_seen
+               CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
         FROM (
             SELECT event_id, user_id, ts,
                    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
@@ -444,8 +444,8 @@ def q164_churn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
     )
     SELECT a.day,
-           sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS n_new,
-           sum(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END) AS n_returning
+           CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
     FROM activity a JOIN firsts f ON a.user_id = f.user_id
     GROUP BY a.day
     """,

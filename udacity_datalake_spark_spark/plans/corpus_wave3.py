@@ -118,7 +118,7 @@ def q143_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ROWS UNBOUNDED PRECEDING) AS occupancy
         FROM bounds
     )
-    SELECT event_type, max(occupancy) AS peak_concurrency
+    SELECT event_type, CAST(max(occupancy) AS BIGINT) AS peak_concurrency
     FROM curve GROUP BY event_type
     """,
 )

@@ -103,12 +103,12 @@ def q100_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            count(*) AS n_total,
-           sum(CASE WHEN (d.doc_id * {_MULT}) % {_UNIT} * 400
+           CAST(sum(CASE WHEN (d.doc_id * {_MULT}) % {_UNIT} * 400
                          < least(n_chars, 400) * {_UNIT}
-                    THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN (d.doc_id * {_MULT}) % {_UNIT} * 400
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN (d.doc_id * {_MULT}) % {_UNIT} * 400
                          < least(n_chars, 400) * {_UNIT}
-                    THEN n_chars ELSE 0 END) AS kept_chars
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
     FROM documents d
     GROUP BY lang
     """,
@@ -222,7 +222,7 @@ def q103_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT source, shard, CAST(floor(start_off / 2048.0) AS BIGINT) AS bin_id,
-           count(*) AS n_docs, sum(n_tokens) AS total_tokens
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM p
     GROUP BY 1, 2, 3
     """,

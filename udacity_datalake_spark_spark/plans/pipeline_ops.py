@@ -38,7 +38,7 @@ def _md5_bucket(col: str) -> F.Column:
 @query(
     "q64_hash_split",
     oracle="""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
         SELECT CASE WHEN h < 'cd' THEN 'train'
                     WHEN h < 'e6' THEN 'val'
@@ -71,7 +71,7 @@ def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q65_sessionize",
     oracle="""
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            count(*) AS n_events,
            min(ts) AS session_start,
            max(us) - min(us) AS duration_us
@@ -276,15 +276,15 @@ def q70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q72_dq_report",
     oracle="""
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
-                    THEN 0 ELSE 1 END) AS bad_quantity,
-           sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
-                    THEN 0 ELSE 1 END) AS bad_discount,
-           sum(CASE WHEN l_tax >= 0 AND l_tax <= 0.08
-                    THEN 0 ELSE 1 END) AS bad_tax,
-           sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
-                    THEN 0 ELSE 1 END) AS bad_returnflag,
-           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+           CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                    THEN 0 ELSE 1 END) AS BIGINT) AS bad_quantity,
+           CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                    THEN 0 ELSE 1 END) AS BIGINT) AS bad_discount,
+           CAST(sum(CASE WHEN l_tax >= 0 AND l_tax <= 0.08
+                    THEN 0 ELSE 1 END) AS BIGINT) AS bad_tax,
+           CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS bad_returnflag,
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
            count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk
     FROM lineitem
     """,

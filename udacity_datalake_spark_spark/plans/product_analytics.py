@@ -43,12 +43,12 @@ from udacity_datalake_spark_spark.sources.readers import read_table
         FROM sess GROUP BY user_id, session_seq
     )
     SELECT count(*) AS n_sessions,
-           sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-           sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
-                    THEN 1 ELSE 0 END) AS n_clicked_after_view,
-           sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+           CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
                          AND first_purchase > first_click
-                    THEN 1 ELSE 0 END) AS n_full_funnel
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
     FROM per_session
     """,
 )

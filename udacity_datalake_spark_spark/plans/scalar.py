@@ -135,7 +135,7 @@ def q30_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_json_funcs",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            count(*) AS n
     FROM events
@@ -160,8 +160,8 @@ def q31_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS disc_dev,
            sqrt(l_extendedprice) AS price_sqrt,
-           floor(l_quantity / 7) AS qty_floor7,
-           ceil(l_extendedprice / 1000) AS price_kceil,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qty_floor7,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_kceil,
            l_quantity * l_quantity AS qty_sq,
            l_orderkey % 7 AS key_mod7
     FROM lineitem

@@ -92,7 +92,7 @@ def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            count(*) AS n_docs,
-           sum(n_chars) AS sum_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            max(n_chars) AS max_chars
     FROM documents
     GROUP BY source

@@ -197,7 +197,7 @@ def q111_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id, ts AS last_ts, event_type AS last_event,
-           CAST(value AS DECIMAL(18,2)) AS last_value
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
     FROM ranked
     WHERE rn = 1 AND event_type <> 'error'
     """,
@@ -227,6 +227,6 @@ def q112_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("ts").alias("last_ts"),
             F.col("event_type").alias("last_event"),
-            dec("value").alias("last_value"),
+            dec("value").cast("double").alias("last_value"),
         )
     )

@@ -38,23 +38,24 @@ from udacity_datalake_spark_spark.sources.readers import read_table
                quarter(CAST(d AS DATE)) AS d_quarter,
                CASE WHEN dayofweek(CAST(d AS DATE)) IN (0, 6) THEN 1 ELSE 0 END
                    AS is_weekend
-        FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31',
+        FROM (SELECT unnest(generate_series(DATE '1992-01-01', DATE '2001-12-31',
                                             INTERVAL 1 DAY)) AS d)
     )
     SELECT d_year, d_quarter,
            count(*) AS n_orders,
-           sum(is_weekend) AS weekend_orders,
+           CAST(sum(is_weekend) AS BIGINT) AS weekend_orders,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders JOIN dim ON CAST(o_orderdate AS DATE) = dim.d
     GROUP BY d_year, d_quarter
     """,
 )
 def q139_date_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generated calendar dimension (1995–2001, with fiscal and weekend
+    """Generated calendar dimension (1992–2001, covering the fact's full
+    order-date range, with fiscal and weekend
     attributes) broadcast-joined onto orders, aggregated to quarters.
 
-    The dimension is built by ``sequence``/``explode`` — ~2.5k rows for
-    seven years, generated in-plan with no source table and explicitly
+    The dimension is built by ``sequence``/``explode`` — ~3.7k rows for
+    ten years, generated in-plan with no source table and explicitly
     broadcast, so the fact side never shuffles for the enrichment; the
     only exchange is the final 28-group aggregate.  This is the pattern
     for EVERY calendar/fiscal attribute at 100 TB: derive once, broadcast
@@ -65,7 +66,7 @@ def q139_date_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.sequence(
-                    F.lit("1995-01-01").cast("date"),
+                    F.lit("1992-01-01").cast("date"),
                     F.lit("2001-12-31").cast("date"),
                     F.expr("interval 1 day"),
                 )
@@ -124,7 +125,7 @@ def q140_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_div7,
-           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k7
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k7
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0
     GROUP BY event_type
