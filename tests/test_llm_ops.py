@@ -167,3 +167,55 @@ def test_perceptual_hash_pairs_identical_payloads(spark):
     }
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_near_dup_lsh_prefilter_subset_and_recall(spark, sf_dir):
+    """The LSH-prefiltered near-dup path must be a subset of the exact
+    broadcast path (same verify kernel ⇒ no false positives) with high
+    recall at the q56 threshold, and must never pull the corpus to the
+    driver (that is its whole reason to exist)."""
+    import pyspark.sql as pssql
+
+    from udacity_datalake_spark_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in cosine_near_dup_pairs(emb, prefilter="broadcast").collect()
+    }
+
+    orig = pssql.DataFrame.toPandas
+    pssql.DataFrame.toPandas = _forbidden_to_pandas
+    try:
+        lsh_rows = cosine_near_dup_pairs(emb, prefilter="lsh").collect()
+    finally:
+        pssql.DataFrame.toPandas = orig
+
+    lsh = {(r.id_a, r.id_b): r.sim for r in lsh_rows}
+    assert set(lsh) <= set(exact), "LSH prefilter produced a pair the exact path lacks"
+    for pair, sim in lsh.items():
+        assert abs(sim - exact[pair]) <= 1e-5, (pair, sim, exact[pair])
+    recall = len(lsh) / len(exact) if exact else 1.0
+    assert len(exact) > 0, "fixture should contain near-dup pairs at 0.45"
+    assert recall >= 0.85, f"LSH near-dup recall {recall:.2f} below floor"
+
+
+def _forbidden_to_pandas(self):
+    raise AssertionError("toPandas() called on the LSH near-dup path")
+
+
+def test_near_dup_auto_picks_lsh_above_threshold(spark, sf_dir):
+    """auto mode must route above-broadcast-scale corpora to the LSH
+    path — asserted by forbidding driver-side collection entirely."""
+    import pyspark.sql as pssql
+
+    from udacity_datalake_spark_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    orig = pssql.DataFrame.toPandas
+    pssql.DataFrame.toPandas = _forbidden_to_pandas
+    try:
+        rows = cosine_near_dup_pairs(emb, prefilter="auto", broadcast_rows=1).collect()
+    finally:
+        pssql.DataFrame.toPandas = orig
+    assert len(rows) > 0

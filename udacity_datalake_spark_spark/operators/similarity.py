@@ -220,23 +220,109 @@ def ivf_topk(
     return _ranked_topk(scored, k)
 
 
+def _lsh_tables_for(threshold: float, bits_per_table: int, target_recall: float) -> int:
+    """Banding-analysis table count: enough b-bit hyperplane tables that a
+    pair at exactly the threshold similarity collides in ≥1 table with
+    ``target_recall`` probability (pairs above the threshold do better)."""
+    import math
+
+    p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_table = max(p_bit**bits_per_table, 1e-12)
+    t = math.ceil(math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - p_table))
+    return int(min(max(t, 1), 128))
+
+
+def _lsh_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int,
+    bits_per_table: int,
+    dim: int,
+    seed: int,
+) -> DataFrame:
+    """LSH-prefiltered near-dup pairs: bucket self-join candidates,
+    exact cosine verify on candidates only.  Everything stays
+    distributed — the only Python is the Arrow-batched sign-bit matmul
+    (one BLAS call per batch); candidate generation and verification
+    are plain hash joins Catalyst plans like any other."""
+    planes = hyperplane_planes(dim, n_tables, bits_per_table, seed)
+    buckets = _bucket_udf(planes, n_tables, bits_per_table)
+    b = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+    )
+    cand = (
+        b.select(F.col("__id").alias("id_a"), "__tbl", "__bucket")
+        .join(b.select(F.col("__id").alias("id_b"), "__tbl", "__bucket"), ["__tbl", "__bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine_similarity("__va", "__vb")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("__sim"))
+        .where(F.col("__sim") >= threshold)
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.round("__sim", 6).alias("sim"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    prefilter: str = "auto",
+    broadcast_rows: int = 500_000,
+    n_tables: int | None = None,
+    bits_per_table: int = 6,
+    target_recall: float = 0.97,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Exact all-pairs cosine near-duplicates (id_a < id_b, sim ≥ τ).
+    """Cosine near-duplicate pairs (id_a < id_b, sim ≥ τ) with a
+    size-dependent physical strategy:
 
-    The naive pair join evaluates the dot product row-at-a-time in the
-    JVM — ~50× slower than BLAS.  Here the (small-dim) corpus matrix is
-    broadcast once as numpy and every partition computes its rows' block
-    of the similarity matrix with one matmul per Arrow batch, keeping
-    only the upper triangle over the threshold.  Exact up to double
-    rounding; scales to ~10⁶ × small-dim (broadcast-bound) — beyond
-    that, prefilter candidates with hyperplane_lsh_topk buckets or the
-    ivf_topk cells and verify only candidates.
+    - ``prefilter='broadcast'`` — exact all-pairs.  The (small-dim)
+      corpus matrix is broadcast once as numpy and every partition
+      computes its rows' block of the similarity matrix with one BLAS
+      matmul per Arrow batch (~50× the JVM row-at-a-time pair join),
+      keeping only the upper triangle over the threshold.  Correctness
+      baseline; broadcast-bound at ~10⁶ × small-dim.
+    - ``prefilter='lsh'`` — the 100 TB path: candidates come from a
+      random-hyperplane LSH self-join (sign-bit bucket per table, ONE
+      hash equi-join on (table, bucket) — never an all-pairs product),
+      then the exact JVM-side cosine verifies candidates only.  No
+      driver-side collect of the corpus anywhere.  When ``n_tables`` is
+      None the table count is derived from the threshold by the standard
+      banding analysis: with per-bit collision p = 1 − arccos(τ)/π, a
+      b-bit table collides with probability p^b, so
+      t = ⌈ln(1−recall)/ln(1−p^b)⌉ tables reach the target recall.
+      Low thresholds (τ ≲ 0.5) sit near the LSH chance rate and need
+      many tables — near-dup thresholds in practice (≥0.8) are cheap.
+    - ``prefilter='auto'`` (default) — count the corpus (one cheap
+      metadata-backed job; NOTE this makes the call eager) and pick
+      'broadcast' below ``broadcast_rows``, 'lsh' at or above it.
     """
+    if prefilter not in ("auto", "broadcast", "lsh"):
+        raise ValueError(f"prefilter must be auto|broadcast|lsh, got {prefilter!r}")
+    if prefilter == "auto":
+        prefilter = "broadcast" if corpus.count() < broadcast_rows else "lsh"
+    if prefilter == "lsh":
+        if n_tables is None:
+            n_tables = _lsh_tables_for(threshold, bits_per_table, target_recall)
+        return _lsh_near_dup_pairs(
+            corpus, id_col, vec_col, threshold, n_tables, bits_per_table, dim, seed
+        )
     from collections.abc import Iterator
 
     rows = corpus.select(id_col, vec_col).toPandas()

@@ -229,8 +229,11 @@ def q56_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup family's semantic-similarity member.  Exact all-pairs via a
     broadcast corpus matrix + one BLAS matmul per Arrow batch
     (operators.similarity.cosine_near_dup_pairs) — ~50× the JVM
-    row-at-a-time pair join; beyond broadcast scale, prefilter with the
-    q49 LSH buckets / q60 IVF cells and verify candidates only."""
+    row-at-a-time pair join.  Above ``broadcast_rows`` the operator's
+    auto mode switches itself to the LSH-prefiltered path (hyperplane
+    bucket self-join candidates + the same exact verify kernel, no
+    driver-side collect) — subset/recall-bounded in
+    tests/test_llm_ops.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, threshold=0.45)
 
