@@ -468,18 +468,26 @@ def q94_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q95_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end fuzzy-dedup MATERIALIZATION: q45's Jaccard edge set →
+    """End-to-end fuzzy-dedup MATERIALIZATION: near-dup edge set →
     q73's connected components → keep one canonical document (min doc_id)
     per cluster, drop the rest via a left-anti join against the loser
     set.  This is the full pipeline a curation run executes — detect,
     cluster, and emit the deduplicated corpus — and the anti join is
     broadcast-sized because losers ≪ corpus (only near-dup cluster
-    members, never the whole table)."""
-    from udacity_datalake_spark_spark.operators.dedup import ngram_jaccard_pairs
+    members, never the whole table).
+
+    Edge source is MinHash-LSH (q46) by default — banded signature
+    equi-join candidates + exact-Jaccard verify, the bucketed 100 TB
+    path whose output equals the exact PPJoin prefix-filter edge set
+    (q45, still available as ``ngram_jaccard_pairs``) whenever band
+    recall is complete; equality on the corpus fixture is asserted by
+    tests/test_llm_ops.py::test_minhash_lsh_equals_exact, which is what
+    keeps this plan swap oracle-invariant."""
+    from udacity_datalake_spark_spark.operators.dedup import minhash_lsh_pairs
     from udacity_datalake_spark_spark.operators.graph import connected_components
 
     d = read_table(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    edges = minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.6)
     labels = connected_components(edges, src="d1", dst="d2")
     losers = labels.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("loser")
