@@ -192,3 +192,64 @@ def test_scd2_collapses_redelivered_records(spark):
     assert u1[0].valid_to == u1[1].valid_from and not u1[0].is_current
     assert u1[1].valid_to is None and u1[1].is_current
     assert len(by_user[2]) == 1 and by_user[2][0].is_current
+
+
+def test_global_row_number_equals_window(spark, sf_dir):
+    """Two-phase bucketed ranking must equal the single-partition
+    row_number window bit-for-bit, including heavy ties."""
+    from pyspark.sql import Window
+
+    from udacity_datalake_spark_spark.operators.topk import global_row_number
+    from udacity_datalake_spark_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # n_chars has many ties; tie-break on doc_id for a total order
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    got = {
+        r.doc_id: r.rn
+        for r in global_row_number(d, order, "n_chars", descending=True, n_buckets=7).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r.doc_id: r.rn
+        for r in d.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_equals_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from udacity_datalake_spark_spark.operators.topk import global_ntile
+    from udacity_datalake_spark_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    for n_tiles in (3, 10, 7):
+        got = {
+            r.doc_id: r.tile
+            for r in global_ntile(d, order, "n_chars", n_tiles, descending=True).collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            r.doc_id: r.tile
+            for r in d.withColumn("tile", F.ntile(n_tiles).over(w)).collect()
+        }
+        assert got == want, f"ntile({n_tiles}) diverged"
+
+
+def test_ranked_topk_equals_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from udacity_datalake_spark_spark.operators.topk import ranked_topk
+    from udacity_datalake_spark_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    got = {(r.doc_id, r.rn) for r in ranked_topk(d, order, 17).collect()}
+    w = Window.orderBy(*order)
+    want = {
+        (r.doc_id, r.rn)
+        for r in d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 17).collect()
+    }
+    assert got == want

@@ -318,3 +318,24 @@ def test_every_query_is_jvm_side_unless_allowlisted(spark, sf_dir):
         if has_python_eval(fn(spark, sf_dir)):
             offenders.append(name)
     assert not offenders, f"unexpected Python eval nodes in: {offenders}"
+
+
+TOPK_QUERIES = [
+    "q133_bm25_retrieval",
+    "q143_pmi_cooccurrence",
+    "q159_skew_profile",
+    "q167_weighted_sample_wor",
+    "q168_skipgram_counts",
+]
+
+
+def test_global_topk_plans_take_ordered(spark, sf_dir):
+    """Every deterministic global top-k must reduce per-partition before
+    any global step: the plan must contain TakeOrderedAndProject (bounded
+    k-row heap per partition + merge) rather than funneling the full
+    frame through a single-partition ranking window."""
+    for name in TOPK_QUERIES:
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, (
+            f"{name}: expected TakeOrderedAndProject in plan, got:\n{plan[:2000]}"
+        )

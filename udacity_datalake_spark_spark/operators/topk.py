@@ -1,0 +1,140 @@
+"""Deterministic global top-k that never sorts the full frame in one
+partition.
+
+A bare ``row_number() OVER (ORDER BY ...)`` window funnels the ENTIRE
+input through a single-partition sort (Spark logs "No Partition Defined
+for Window operation" for exactly this reason) — fine on thousands of
+rows, a straggler at 100 TB.  ``ranked_topk`` instead expresses the
+reduction as ``ORDER BY ... LIMIT k``, which Catalyst plans as
+TakeOrderedAndProject: a bounded k-row heap per partition, then a k·p-row
+merge — the per-partition pre-top-k the naive window lacks, provided by
+the engine's own physical operator rather than hand-rolled salting.  The
+rank column is then computed by a window over only the k survivors
+(partitioned on a constant so no unpartitioned-window warning and a ≤k-row
+exchange).
+
+Determinism: callers must pass a TOTAL order (tie-break on a key column),
+same as the windows this replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# TakeOrderedAndProject is only chosen below
+# spark.sql.execution.topKSortFallbackThreshold (default 10000); above it
+# Spark falls back to a full sort and this helper would silently lose its
+# point, so refuse loudly instead.
+_TOPK_PLAN_LIMIT = 10_000
+
+
+def ranked_topk(
+    df: DataFrame,
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-``k`` rows of ``df`` under ``order_by`` with a 1-based
+    ``rank_col``, identical to
+    ``row_number() OVER (ORDER BY ...) <= k`` but planned scalably."""
+    if not (0 < k <= _TOPK_PLAN_LIMIT):
+        raise ValueError(
+            f"k={k} outside (0, {_TOPK_PLAN_LIMIT}]: TakeOrderedAndProject "
+            "only plans below the topK fallback threshold"
+        )
+    top = df.orderBy(*order_by).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order_by)
+    return top.withColumn(rank_col, F.row_number().over(w))
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    bucket_col: str,
+    out_col: str = "rn",
+    descending: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global 1-based ``row_number() OVER (ORDER BY ...)`` without a
+    single-partition sort — for full-frame numberings (vocab IDs, decile
+    assignment) where ``ranked_topk`` doesn't apply because every row
+    keeps a rank.
+
+    Classic two-phase ranking: (1) approximate quantile boundaries of
+    ``bucket_col`` (must be the leading sort key, non-null, numeric)
+    split the frame into ~equal ordered buckets, assigned map-side by a
+    codegen'd boundary scan; (2) ``row_number`` runs per-bucket (one hash
+    exchange, n_buckets-way parallel sort), then each bucket adds the
+    exact count of rows in all earlier buckets.  The offsets frame is
+    n_buckets rows — a bounded driver collect, same class as the
+    heavy-hitter sets in operators.joins.
+
+    The output is EXACTLY the global row_number for any boundary set:
+    boundaries only decide where buckets split, never relative order —
+    equal keys share a bucket (strict comparisons) and ties resolve in
+    the local window under the full ``order_by``.  Builds eagerly (two
+    small jobs: quantiles + bucket counts).
+    """
+    key = F.col(bucket_col).cast("double")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.approxQuantile(bucket_col, probs, 0.001)), reverse=descending)
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        if descending:
+            bucket = F.aggregate(
+                barr, F.lit(0), lambda acc, b: acc + F.when(b > key, 1).otherwise(0)
+            )
+        else:
+            bucket = F.aggregate(
+                barr, F.lit(0), lambda acc, b: acc + F.when(b < key, 1).otherwise(0)
+            )
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("__bucket", bucket)
+
+    counts = {
+        r["__bucket"]: r["cnt"]
+        for r in bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, running = {}, 0
+    for b in sorted(counts):
+        offsets[b] = running
+        running += counts[b]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()] or [(0, 0)], "__bucket int, __offset long"
+    )
+
+    w = Window.partitionBy("__bucket").orderBy(*order_by)
+    return (
+        bucketed.join(F.broadcast(off_df), "__bucket")
+        .withColumn(out_col, F.row_number().over(w) + F.col("__offset"))
+        .drop("__bucket", "__offset")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: list[Column],
+    bucket_col: str,
+    n_tiles: int,
+    out_col: str = "tile",
+    descending: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global ``ntile(n) OVER (ORDER BY ...)`` via global_row_number —
+    ANSI semantics (first ``n % n_tiles`` tiles get the extra row), total
+    row count known exactly from the ranking pass's bucket counts."""
+    ranked = global_row_number(df, order_by, bucket_col, "__grn", descending, n_buckets)
+    n = ranked.count()
+    q, rem = divmod(n, n_tiles) if n else (0, 0)
+    rn = F.col("__grn")
+    if q == 0:
+        tile = rn  # fewer rows than tiles: row i → tile i
+    else:
+        big = rem * (q + 1)
+        tile = F.when(rn <= big, F.ceil(rn / F.lit(q + 1))).otherwise(
+            F.lit(rem) + F.ceil((rn - F.lit(big)) / F.lit(q))
+        )
+    return ranked.withColumn(out_col, tile.cast("int")).drop("__grn")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from udacity_datalake_spark_spark.functions.numeric import dec
+from udacity_datalake_spark_spark.operators.topk import global_row_number
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
@@ -461,10 +462,12 @@ def q120_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Token counting is the scalable part: explode happens inside the scan
     stage and partial aggregation collapses to distinct tokens before the
-    one token-keyed exchange.  ID assignment is a global row_number, but
-    over the PRUNED VOCABULARY — bounded by language (≈10⁵-10⁶ rows)
-    regardless of corpus size, so the single-partition window that would
-    be fatal on the fact table is trivial here.  monotonically_increasing_id
+    one token-keyed exchange.  ID assignment is a global row_number
+    over the PRUNED VOCABULARY, and even that is two-phase
+    (operators.topk.global_row_number: quantile buckets + per-bucket
+    row_number + exact count offsets), so no single-partition sort
+    anywhere — a 10⁶-row vocabulary ranks across the cluster, not on
+    one core.  monotonically_increasing_id
     is rejected deliberately: its values depend on partitioning and are
     neither contiguous nor stable across runs.
     """
@@ -476,8 +479,9 @@ def q120_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= 5)
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    return counts.select("token", "cnt", (F.row_number().over(w) - 1).alias("token_id"))
+    return global_row_number(
+        counts, [F.col("cnt").desc(), F.col("token")], "cnt", descending=True
+    ).select("token", "cnt", (F.col("rn") - 1).alias("token_id"))
 
 
 @query(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
@@ -376,10 +377,8 @@ def q159_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_cnt"),
         F.max("cnt").alias("max_cnt"),
     )
-    w = Window.orderBy(F.col("cnt").desc(), "l_orderkey")
     return (
-        per_key.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
+        ranked_topk(per_key, [F.col("cnt").desc(), F.col("l_orderkey")], 10)
         .crossJoin(F.broadcast(stats))
         .select(
             "l_orderkey",

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
@@ -96,12 +97,9 @@ def q143_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), "term_a", "term_b")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .select("term_a", "term_b", "n_ab", "pmi")
-    )
+    return ranked_topk(
+        scored, [F.col("pmi").desc(), F.col("term_a"), F.col("term_b")], 20
+    ).select("term_a", "term_b", "n_ab", "pmi")
 
 
 @query(
@@ -296,9 +294,6 @@ def q168_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term_a", "term_b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), "term_a", "term_b")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .select("term_a", "term_b", "n")
-    )
+    return ranked_topk(
+        pairs, [F.col("n").desc(), F.col("term_a"), F.col("term_b")], 20
+    ).select("term_a", "term_b", "n")

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.operators.similarity import kmeans_assign
+from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
@@ -299,12 +300,9 @@ def q167_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
     u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1048576)).cast("double") + 0.5
     key = F.round(F.pow(u / F.lit(1048576.0), 1.0 / F.col("n_chars")), 9).cast("decimal(18,9)")
-    w = Window.orderBy(F.col("k").desc(), "doc_id")
-    return (
-        d.select("doc_id", "lang", "n_chars", key.alias("k"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 50)
-        .select("doc_id", "lang", "n_chars")
+    keyed = d.select("doc_id", "lang", "n_chars", key.alias("k"))
+    return ranked_topk(keyed, [F.col("k").desc(), F.col("doc_id")], 50).select(
+        "doc_id", "lang", "n_chars"
     )
 
 

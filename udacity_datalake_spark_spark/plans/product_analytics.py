@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.functions.numeric import dec
+from udacity_datalake_spark_spark.operators.topk import global_ntile
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
@@ -166,10 +167,12 @@ def q153_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 tiles by score and report each tile's user count and total value
     — the "top 10% of users hold X% of value" report.
 
-    The ntile window runs over the per-user AGGREGATE (one row per user,
-    never raw events) with a deterministic (score, user_id) order on the
-    exact decimal score; the decile totals stay decimal until the final
-    per-tile cast.
+    The ntile runs over the per-user AGGREGATE (one row per user, never
+    raw events) with a deterministic (score, user_id) order on the exact
+    decimal score, via operators.topk.global_ntile — quantile-bucketed
+    two-phase ranking, so no single-partition window even when the user
+    dimension itself is large; the decile totals stay decimal until the
+    final per-tile cast.
     """
     e = read_table(spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
     mx = e.agg(F.max(F.to_date("ts")).alias("ref_day"))
@@ -184,8 +187,15 @@ def q153_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("term").alias("ltv_dec"))
     )
-    w = Window.orderBy(F.col("ltv_dec").desc(), "user_id")
-    tiled = ltv.select("user_id", "ltv_dec", F.ntile(10).over(w).alias("decile"))
+    keyed = ltv.withColumn("__ltv_d", F.col("ltv_dec").cast("double"))
+    tiled = global_ntile(
+        keyed,
+        [F.col("ltv_dec").desc(), F.col("user_id")],
+        "__ltv_d",
+        10,
+        out_col="decile",
+        descending=True,
+    ).drop("__ltv_d")
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.sum("ltv_dec").cast("double"), 6).alias("decile_ltv"),

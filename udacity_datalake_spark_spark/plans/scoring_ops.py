@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.functions.numeric import dec
+from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
@@ -243,13 +244,6 @@ def q133_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", term_score.alias("term_score"))
     )
     ranked = scored.groupBy("doc_id").agg(F.sum("term_score").alias("ssum"))
-    w = Window.orderBy(F.col("ssum").desc(), "doc_id")
-    return (
-        ranked.select(
-            "doc_id",
-            F.round(F.col("ssum").cast("double"), 6).alias("bm25"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .where(F.col("rn") <= 10)
-        .select("doc_id", "bm25")
+    return ranked_topk(ranked, [F.col("ssum").desc(), F.col("doc_id")], 10).select(
+        "doc_id", F.round(F.col("ssum").cast("double"), 6).alias("bm25")
     )
