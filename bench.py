@@ -84,17 +84,25 @@ def main() -> None:
         if name in QUERIES:
             QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # Repeat each query and report the MIN: single-shot numbers on a
+    # shared machine are noise-dominated (r01's bench recorded 45.8s for
+    # a query that times at ~12s idle); the min of a few runs is the
+    # stable estimate of what the plan actually costs.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # operator-internal persist() frames (dedup/similarity multi-branch
-        # plans) are scoped to one query — drop them so a long session's
-        # cache doesn't accumulate across the run
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # operator-internal persist() frames (dedup/similarity
+            # multi-branch plans) are scoped to one query — drop them so
+            # repeats and later queries don't read a warmed cache
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -196,25 +196,34 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact-Jaccard verification restricted to the candidate set: expand
-    # each candidate pair to its shared shingles only (never all pairs);
-    # persist: the exploded frame feeds sizes + both candidate joins
-    sh = explode_shingles(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    a = sh.select(F.col(id_col).alias("d1"), "shingle")
-    b = sh.select(F.col(id_col).alias("d2"), "shingle")
-    inter = (
-        candidates.join(a, "d1")
-        .join(b, ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+    # exact-Jaccard verification restricted to the candidate set, same
+    # array-side verify as ngram_jaccard_pairs: two equi-joins pull the
+    # per-doc shingle ARRAYS onto each candidate pair and
+    # ``array_intersect`` counts true overlap inside codegen — no second
+    # exploded string-keyed shuffle (the exchange carries one array per
+    # doc, and only for docs that appear in a candidate pair)
+    arrs = (
+        spread(df)
+        .where(F.size(tokens(text_col)) >= n)
+        .select(F.col(id_col), shingles(text_col, n).alias("__arr"))
+        .withColumn("__sz", F.size("__arr"))
     )
-    sz1 = sizes.select(F.col(id_col).alias("d1"), F.col("__sz").alias("__sz1"))
-    sz2 = sizes.select(F.col(id_col).alias("d2"), F.col("__sz").alias("__sz2"))
     jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
     return (
-        inter.join(sz1, "d1")
-        .join(sz2, "d2")
+        candidates.join(
+            arrs.select(F.col(id_col).alias("d1"), F.col("__arr").alias("__a1"),
+                        F.col("__sz").alias("__sz1")),
+            "d1",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("d2"), F.col("__arr").alias("__a2"),
+                        F.col("__sz").alias("__sz2")),
+            "d2",
+        )
+        .select(
+            "d1", "d2", "__sz1", "__sz2",
+            F.size(F.array_intersect("__a1", "__a2")).alias("__inter"),
+        )
         .select("d1", "d2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
