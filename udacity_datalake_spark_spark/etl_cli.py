@@ -15,9 +15,9 @@ Differences by design:
 - songs/artists are reused in-memory between the two pipelines instead
   of re-read from freshly-written parquet (same values, one lineage).
 
-Usage::
+Usage (spark-submit takes a script path, not a module flag)::
 
-    spark-submit -m udacity_datalake_spark_spark.etl_cli \
+    spark-submit /path/to/udacity_datalake_spark_spark/etl_cli.py \
         --input_data /data/raw --output_data /data/lake \
         [--song_glob 'song_data/*/*/*'] [--log_glob 'log_data/*/*'] \
         [--app_name sparkify-etl]

@@ -35,7 +35,15 @@ def connected_components(
     """Label every node of the undirected graph with the minimum node id
     of its component.  Returns (node, component) — one row per distinct
     node appearing in ``edges``.
+
+    Contract notes: edge endpoints must be non-null (null endpoints are
+    dropped up front — an edge to nothing connects nothing), and the
+    call is EAGER — it counts (and below ``small_graph_threshold``
+    collects) the materialized edge list at call time rather than
+    returning a lazy plan, since iterative label propagation has no
+    single-plan form anyway.
     """
+    edges = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
     # materialize the edge list ONCE before mirroring it: the union below
     # references `edges` twice, and without this an expensive upstream
     # (e.g. a Jaccard shingle self-join) would execute per branch

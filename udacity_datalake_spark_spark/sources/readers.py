@@ -76,15 +76,27 @@ def register_views(spark: SparkSession, sf_dir: str, names: Sequence[str] | None
 def read_json_feed(
     spark: SparkSession,
     path: str,
-    schema: T.StructType,
+    schema: T.StructType | None = None,
     multiline: bool = False,
+    infer_schema: bool = False,
 ) -> DataFrame:
     """Line-delimited JSON feed with an explicit schema.
 
     Replaces the reference's ``spark.read.json(glob)`` (etl.py:36,78) —
     same Hadoop-glob path semantics, but one scan instead of two and no
     inference-decided types.
+
+    ``infer_schema=True`` is the bug-for-bug compat escape hatch: it
+    reproduces the reference's inference-driven read exactly (extra
+    discovery scan, ids landing as strings, integers widening to long —
+    e.g. the reference's ``userId`` arriving as string, etl.py:78).  Use
+    it only to reproduce reference behavior; every engine path passes an
+    explicit schema.
     """
+    if infer_schema:
+        return spark.read.option("multiLine", multiline).json(path)
+    if schema is None:
+        raise ValueError("schema is required unless infer_schema=True")
     return spark.read.schema(schema).option("multiLine", multiline).json(path)
 
 
