@@ -23,6 +23,8 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     tpch_extra,
     tpch_gaps,
     warehouse_ops,
+    wave5,
+    wave6,
     textops,
     windows,
 )
