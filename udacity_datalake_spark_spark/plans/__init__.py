@@ -25,6 +25,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     warehouse_ops,
     wave5,
     wave6,
+    wave7,
     textops,
     windows,
 )
