@@ -26,6 +26,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     wave5,
     wave6,
     wave7,
+    wave8,
     textops,
     windows,
 )
