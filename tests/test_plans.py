@@ -303,6 +303,8 @@ PANDAS_ALLOWLIST = {
     "q60_ann_ivf",
     "q103_embedding_clusters",
     "q148_media_phash_pairs",
+    "q193_wav_decode",
+    "q194_ppm_decode",
 }
 
 

@@ -4,11 +4,13 @@ processed with Arrow-batched ``mapInPandas``.
 The pattern for image/audio/video at 100 TB: the payload rides as a binary
 column next to a metadata struct; decode/feature-extract runs as a
 vectorized pandas stage over column batches (never row-at-a-time Python).
-Real media decoding needs codec libraries this container doesn't ship, so
-the decode step is STUBBED (``decode_media`` raises NotImplementedError;
-``extract_payload_features`` computes deterministic byte-level features) —
-the Spark-side plumbing (schema, batching, partitioning) is real and
-oracle-tested.
+Decoding is REAL for library-free containers — ``decode_media`` fully
+parses WAV (stdlib ``wave``: RIFF header + PCM frames) and P6 PPM
+(header + numpy frombuffer), emitting integer-exact stats that are
+oracle-checked end-to-end (q193/q194).  Codecs that need external
+libraries (jpeg/mp3/h264 …) raise NotImplementedError with the drop-in
+point documented; the Spark-side plumbing (schema, batching,
+partitioning) is identical either way.
 """
 
 from __future__ import annotations
@@ -106,13 +108,151 @@ def sample_frames(
     return df.select(id_col, "payload").mapInPandas(frames, FRAME_SCHEMA)
 
 
-def decode_media(df: DataFrame, codec: str) -> DataFrame:
-    """STUB — real media decode requires codec libraries (PIL/ffmpeg/...)
-    not present in this environment.  The full implementation plugs a
-    decoder into the ``extract_payload_features`` mapInPandas loop."""
+def synthesize_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 256, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV payload per row (RIFF container
+    written by the stdlib ``wave`` module — a REAL .wav file, playable):
+    sample[i] = ((id·7919 + i·104729) mod 65536) − 32768.  The signal is
+    synthetic (no audio libs in this container) but the container format
+    is genuine, which is what lets ``decode_media('wav')`` be a real
+    decoder instead of a stub."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                i = np.arange(n_samples, dtype=np.int64)
+                samples = ((int(rid) * 7919 + i * 104729) % 65536 - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic P6 PPM image payload per row (real binary PPM:
+    ``P6\\n<w> <h>\\n255\\n`` header + raw RGB bytes): dimensions derive
+    from the id (w = 16 + id mod 8, h = 8 + id mod 5) and flat byte j is
+    (id·31 + j·97) mod 256."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                w, h = 16 + rid % 8, 8 + rid % 5
+                j = np.arange(w * h * 3, dtype=np.int64)
+                body = ((rid * 31 + j * 97) % 256).astype(np.uint8).tobytes()
+                payloads.append(f"P6\n{w} {h}\n255\n".encode() + body)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+WAV_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+PPM_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def decode_media(df: DataFrame, codec: str, id_col: str = "doc_id") -> DataFrame:
+    """REAL decode for library-free containers, Arrow-batched:
+
+    - ``wav``: stdlib ``wave`` parses the RIFF header and PCM frames →
+      (sample_rate, n_channels, n_samples, integer sum|sample|, peak).
+    - ``ppm``: P6 header parse + numpy frombuffer → (width, height,
+      per-channel integer sums).
+
+    Both emit integer-exact statistics, so the decode path is
+    oracle-checkable end-to-end (q193/q194).  Codecs that genuinely
+    require external libraries (jpeg/png/mp3/h264 …) still raise — the
+    production implementation drops a PIL/ffmpeg call into the same
+    mapInPandas loop with the same contract: binary in, typed stats out,
+    payload bytes never shuffled."""
+    import numpy as np
+
+    if codec == "wav":
+        import io
+        import wave as wavmod
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {k: [] for k in ("doc_id", "sample_rate", "n_channels", "n_samples", "sum_abs", "peak")}
+                for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                    with wavmod.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        nch, rate, nfr = w.getnchannels(), w.getframerate(), w.getnframes()
+                        samples = np.frombuffer(w.readframes(nfr), dtype="<i2").astype(np.int64)
+                    rows["doc_id"].append(rid)
+                    rows["sample_rate"].append(rate)
+                    rows["n_channels"].append(nch)
+                    rows["n_samples"].append(nfr)
+                    rows["sum_abs"].append(int(np.abs(samples).sum()))
+                    rows["peak"].append(int(np.abs(samples).max()) if len(samples) else 0)
+                yield pd.DataFrame(rows)
+
+        return df.select(id_col, "payload").mapInPandas(decode, WAV_DECODE_SCHEMA)
+
+    if codec == "ppm":
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {k: [] for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+                for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                    data = bytes(payload)
+                    magic, dims, maxval_and_body = data.split(b"\n", 2)
+                    if magic != b"P6":
+                        raise ValueError(f"not a P6 PPM payload: {magic!r}")
+                    w, h = (int(x) for x in dims.split())
+                    body = maxval_and_body.split(b"\n", 1)[1]
+                    px = np.frombuffer(body, dtype=np.uint8).astype(np.int64).reshape(h, w, 3)
+                    rows["doc_id"].append(rid)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_r"].append(int(px[:, :, 0].sum()))
+                    rows["sum_g"].append(int(px[:, :, 1].sum()))
+                    rows["sum_b"].append(int(px[:, :, 2].sum()))
+                yield pd.DataFrame(rows)
+
+        return df.select(id_col, "payload").mapInPandas(decode, PPM_DECODE_SCHEMA)
+
     raise NotImplementedError(
-        f"media decode ({codec}) is stubbed: no codec libraries in this environment; "
-        "see extract_payload_features for the production batch shape"
+        f"media decode ({codec}) requires codec libraries (PIL/ffmpeg/...) not in "
+        "this environment; wav/ppm are fully implemented and show the batch shape"
     )
 
 

@@ -27,6 +27,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     wave6,
     wave7,
     wave8,
+    wave9,
     textops,
     windows,
 )
