@@ -178,3 +178,32 @@ def test_ngram_jaccard_prefix_filter_property(spark, docs, threshold):
                 if union and inter / union >= threshold:
                     want[(i, j)] = round(inter / union, 9)
     assert got == want
+
+
+@given(
+    ids=st.lists(st.integers(-50, 200), min_size=0, max_size=40),
+    bucket_width=st.sampled_from([1, 2, 3, 7, 64]),
+)
+@SETTINGS
+def test_sequence_gaps_property(spark, ids, bucket_width):
+    """Bucketed gap detection must equal the naive global-lead version
+    for any id set (duplicates, negatives, empty) and ANY bucket width —
+    boundary stitching is where the bugs would live."""
+    from pyspark.sql import Window
+
+    from udacity_datalake_spark_spark.operators.sequences import sequence_gaps
+
+    df = spark.createDataFrame([(i,) for i in ids] or [(None,)], "id long")
+    got = {
+        (r.gap_after, r.resume_at, r.n_missing)
+        for r in sequence_gaps(df, "id", bucket_width=bucket_width).collect()
+    }
+    w = Window.orderBy("id")
+    naive = (
+        df.where(F.col("id").isNotNull())
+        .distinct()
+        .select("id", F.lead("id").over(w).alias("next_id"))
+        .where(F.col("next_id") - F.col("id") > 1)
+    )
+    want = {(r.id, r.next_id, r.next_id - r.id - 1) for r in naive.collect()}
+    assert got == want

@@ -96,34 +96,17 @@ def q188_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stitched to the NEXT NON-EMPTY bucket's min — a window over the
     bucket-summary frame, which has one row per ~4k ids and is
     dimension-sized at any scale.  Union of both candidate sets, filter
-    diff > 1: identical rows to the naive plan, no global sort."""
-    bucket_w = 4096
+    diff > 1: identical rows to the naive plan, no global sort
+    (operators.sequences.sequence_gaps; property-tested against the
+    naive window on random id sets with adversarial bucket widths)."""
+    from udacity_datalake_spark_spark.operators.sequences import sequence_gaps
+
     present = (
         read_table(spark, sf_dir, "events", columns=["event_id"])
         .where(F.pmod("event_id", F.lit(97)) != 13)
         .select(F.col("event_id").alias("id"))
-        .distinct()
-        .withColumn("__b", F.floor(F.col("id") / F.lit(bucket_w)))
     )
-    w_in = Window.partitionBy("__b").orderBy("id")
-    within = present.select(
-        "id", F.lead("id").over(w_in).alias("next_id")
-    ).where(F.col("next_id").isNotNull())
-
-    summary = present.groupBy("__b").agg(
-        F.min("id").alias("__lo"), F.max("id").alias("__hi")
-    )
-    w_b = Window.orderBy("__b")  # bucket-summary frame: one row per ~4k ids
-    across = summary.select(
-        F.col("__hi").alias("id"), F.lead("__lo").over(w_b).alias("next_id")
-    ).where(F.col("next_id").isNotNull())
-
-    gaps = within.unionByName(across).where(F.col("next_id") - F.col("id") > 1)
-    return gaps.select(
-        F.col("id").alias("gap_after"),
-        F.col("next_id").alias("resume_at"),
-        (F.col("next_id") - F.col("id") - 1).alias("n_missing"),
-    )
+    return sequence_gaps(present, "id", bucket_width=4096)
 
 
 @query(
