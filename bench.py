@@ -60,6 +60,13 @@ HEADLINE = [
     "q145_rolling_active_users",
     "q151_session_funnel",
     "q154_point_in_time_join",
+    # round-2 additions: moments from exact sums, novelty scoring,
+    # bucketed gap audit, two-phase ranking
+    "q176_higher_moments",
+    "q179_trigram_novelty",
+    "q188_id_gap_audit",
+    "q189_curriculum_phases",
+    "q195_curation_pipeline",
     # q155 (sparse cosine) is deliberately NOT a headline query: on the
     # synthetic corpus's ~30-term vocabulary every doc shares its "top"
     # terms with most others, so the qualifying-pair OUTPUT itself is

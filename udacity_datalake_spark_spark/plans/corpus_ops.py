@@ -549,3 +549,86 @@ def q96_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q195_curation_pipeline",
+    oracle="""
+    WITH RECURSIVE
+    kept AS (SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 200),
+    t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM kept),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(arr) - 1),
+                         i -> array_to_string(arr[i:i+2], ' ')))) AS shingle
+           FROM t WHERE len(arr) >= 3),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    near AS (SELECT p.d1, p.d2
+             FROM pairs p
+             JOIN sz sa ON p.d1 = sa.doc_id
+             JOIN sz sb ON p.d2 = sb.doc_id
+             WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.6),
+    edges AS (SELECT d1 AS node, d2 AS nbr FROM near
+              UNION SELECT d2, d1 FROM near),
+    cc(node, lbl) AS (
+        SELECT DISTINCT node, node FROM edges
+        UNION
+        SELECT e.nbr, cc.lbl FROM cc JOIN edges e ON cc.node = e.node
+    ),
+    labels AS (SELECT node AS doc_id, min(lbl) AS component FROM cc GROUP BY node),
+    deduped AS (
+        SELECT doc_id, n_chars FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> component)
+    )
+    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                     THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM deduped GROUP BY 1
+    """,
+)
+def q195_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE — the full curation run as ONE composed plan: quality
+    filter (length ≥ 200) → fuzzy dedup (MinHash-LSH candidates,
+    exact-Jaccard verify, connected components, min-id survivor) →
+    deterministic md5 train/val/test split → per-split volume report.
+    Every stage is an existing operator; this query exists to prove they
+    COMPOSE — filters push into the scan feeding the dedup, the dedup's
+    loser set broadcasts into the anti-join, and the split is map-side —
+    so the whole pipeline is (corpus scans + the bounded near-dup
+    machinery of q95) with no materialization barriers between stages.
+
+    At 100 TB this is the plan a nightly curation job submits; the
+    oracle re-derives the identical report with a recursive-CTE CC."""
+    from udacity_datalake_spark_spark.operators.dedup import minhash_lsh_pairs
+    from udacity_datalake_spark_spark.operators.graph import connected_components
+    from udacity_datalake_spark_spark.plans.pipeline_ops import _md5_bucket
+
+    kept = read_table(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"]).where(
+        F.col("n_chars") >= 200
+    )
+    edges = minhash_lsh_pairs(kept, "doc_id", "text", n=3, threshold=0.6)
+    labels = connected_components(edges, src="d1", dst="d2")
+    losers = labels.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("loser")
+    )
+    deduped = kept.join(
+        F.broadcast(losers), F.col("doc_id") == F.col("loser"), "left_anti"
+    )
+    h = _md5_bucket("doc_id")
+    split = (
+        F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        deduped.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
