@@ -253,3 +253,37 @@ def test_ranked_topk_equals_window(spark, sf_dir):
         for r in d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 17).collect()
     }
     assert got == want
+
+
+def test_global_row_number_null_keys(spark):
+    """NULL sort keys must rank where Spark's window defaults put them
+    (NULLS LAST under desc, NULLS FIRST under asc) — the review-caught
+    bug had them silently landing in the top bucket."""
+    from pyspark.sql import Window
+
+    from udacity_datalake_spark_spark.operators.topk import global_ntile, global_row_number
+
+    rows = [(1, 10.0), (2, None), (3, 5.0), (4, None), (5, 20.0), (6, 1.0)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    for descending in (True, False):
+        order = [
+            F.col("score").desc() if descending else F.col("score").asc(),
+            F.col("id"),
+        ]
+        got = {
+            r.id: r.rn
+            for r in global_row_number(
+                df, order, "score", descending=descending, n_buckets=3
+            ).collect()
+        }
+        w = Window.orderBy(*order)
+        want = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+        assert got == want, f"descending={descending}: {got} != {want}"
+        got_t = {
+            r.id: r.tile
+            for r in global_ntile(
+                df, order, "score", 3, descending=descending, n_buckets=3
+            ).collect()
+        }
+        want_t = {r.id: r.t for r in df.withColumn("t", F.ntile(3).over(w)).collect()}
+        assert got_t == want_t, f"ntile descending={descending}: {got_t} != {want_t}"

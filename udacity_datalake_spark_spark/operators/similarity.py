@@ -229,7 +229,17 @@ def _lsh_tables_for(threshold: float, bits_per_table: int, target_recall: float)
     p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     p_table = max(p_bit**bits_per_table, 1e-12)
     t = math.ceil(math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - p_table))
-    return int(min(max(t, 1), 128))
+    t = max(int(t), 1)
+    if t > 128:
+        raise ValueError(
+            f"threshold={threshold} needs {t} LSH tables for "
+            f"recall={target_recall} at {bits_per_table} bits/table — beyond "
+            "the 128-table sanity cap.  Lower bits_per_table, lower "
+            "target_recall, pass n_tables explicitly, or use the exact "
+            "prefilter='broadcast' path: silently under-delivering recall "
+            "is worse than refusing."
+        )
+    return t
 
 
 def _lsh_near_dup_pairs(
@@ -249,10 +259,13 @@ def _lsh_near_dup_pairs(
     are plain hash joins Catalyst plans like any other."""
     planes = hyperplane_planes(dim, n_tables, bits_per_table, seed)
     buckets = _bucket_udf(planes, n_tables, bits_per_table)
+    # persist: the bucket frame feeds BOTH sides of the candidate
+    # self-join, and the Arrow matmul behind it is the expensive stage —
+    # without this the full-corpus sign-bit computation runs twice
     b = corpus.select(
         F.col(id_col).alias("__id"),
         F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
-    )
+    ).persist()
     cand = (
         b.select(F.col("__id").alias("id_a"), "__tbl", "__bucket")
         .join(b.select(F.col("__id").alias("id_b"), "__tbl", "__bucket"), ["__tbl", "__bucket"])

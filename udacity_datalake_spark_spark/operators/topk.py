@@ -22,11 +22,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# TakeOrderedAndProject is only chosen below
-# spark.sql.execution.topKSortFallbackThreshold (default 10000); above it
-# Spark falls back to a full sort and this helper would silently lose its
-# point, so refuse loudly instead.
-_TOPK_PLAN_LIMIT = 10_000
+
+def _topk_plan_limit(df: DataFrame) -> int:
+    """TakeOrderedAndProject is only chosen below
+    spark.sql.execution.topKSortFallbackThreshold; above it Spark falls
+    back to a full global sort and ranked_topk would silently lose its
+    point.  Read the live conf so the guard stays truthful if a
+    deployment tunes the threshold either direction."""
+    return int(
+        df.sparkSession.conf.get("spark.sql.execution.topKSortFallbackThreshold", "10000")
+    )
 
 
 def ranked_topk(
@@ -38,59 +43,50 @@ def ranked_topk(
     """Top-``k`` rows of ``df`` under ``order_by`` with a 1-based
     ``rank_col``, identical to
     ``row_number() OVER (ORDER BY ...) <= k`` but planned scalably."""
-    if not (0 < k <= _TOPK_PLAN_LIMIT):
+    limit = _topk_plan_limit(df)
+    if not (0 < k <= limit):
         raise ValueError(
-            f"k={k} outside (0, {_TOPK_PLAN_LIMIT}]: TakeOrderedAndProject "
-            "only plans below the topK fallback threshold"
+            f"k={k} outside (0, {limit}]: TakeOrderedAndProject only plans "
+            "below spark.sql.execution.topKSortFallbackThreshold"
         )
     top = df.orderBy(*order_by).limit(k)
     w = Window.partitionBy(F.lit(0)).orderBy(*order_by)
     return top.withColumn(rank_col, F.row_number().over(w))
 
 
-def global_row_number(
+def _bucketed_ranking(
     df: DataFrame,
     order_by: list[Column],
     bucket_col: str,
-    out_col: str = "rn",
-    descending: bool = False,
-    n_buckets: int = 64,
-) -> DataFrame:
-    """Global 1-based ``row_number() OVER (ORDER BY ...)`` without a
-    single-partition sort — for full-frame numberings (vocab IDs, decile
-    assignment) where ``ranked_topk`` doesn't apply because every row
-    keeps a rank.
-
-    Classic two-phase ranking: (1) approximate quantile boundaries of
-    ``bucket_col`` (must be the leading sort key, non-null, numeric)
-    split the frame into ~equal ordered buckets, assigned map-side by a
-    codegen'd boundary scan; (2) ``row_number`` runs per-bucket (one hash
-    exchange, n_buckets-way parallel sort), then each bucket adds the
-    exact count of rows in all earlier buckets.  The offsets frame is
-    n_buckets rows — a bounded driver collect, same class as the
-    heavy-hitter sets in operators.joins.
-
-    The output is EXACTLY the global row_number for any boundary set:
-    boundaries only decide where buckets split, never relative order —
-    equal keys share a bucket (strict comparisons) and ties resolve in
-    the local window under the full ``order_by``.  Builds eagerly (two
-    small jobs: quantiles + bucket counts).
-    """
+    out_col: str,
+    descending: bool,
+    n_buckets: int,
+) -> tuple[DataFrame, int]:
+    """Shared core of global_row_number/global_ntile: the ranked frame
+    plus the EXACT total row count (already known from the per-bucket
+    counts — no extra job)."""
     key = F.col(bucket_col).cast("double")
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(df.approxQuantile(bucket_col, probs, 0.001)), reverse=descending)
+    # NULL keys must land in their own bucket at the position Spark's
+    # window defaults put them — NULLS FIRST ascending (bucket −1),
+    # NULLS LAST descending (bucket len(bounds)+1).  A NULL compared to a
+    # boundary is NULL, which when() counts as 0 → bucket 0 → silently
+    # ranked among the best rows (a real bug caught in round-2 review).
+    null_bucket = F.lit(len(bounds) + 1 if descending else -1)
     if bounds:
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         if descending:
-            bucket = F.aggregate(
+            nonnull = F.aggregate(
                 barr, F.lit(0), lambda acc, b: acc + F.when(b > key, 1).otherwise(0)
             )
         else:
-            bucket = F.aggregate(
+            nonnull = F.aggregate(
                 barr, F.lit(0), lambda acc, b: acc + F.when(b < key, 1).otherwise(0)
             )
     else:
-        bucket = F.lit(0)
+        nonnull = F.lit(0)
+    bucket = F.when(key.isNull(), null_bucket).otherwise(nonnull)
     bucketed = df.withColumn("__bucket", bucket)
 
     counts = {
@@ -107,11 +103,45 @@ def global_row_number(
     )
 
     w = Window.partitionBy("__bucket").orderBy(*order_by)
-    return (
+    ranked = (
         bucketed.join(F.broadcast(off_df), "__bucket")
         .withColumn(out_col, F.row_number().over(w) + F.col("__offset"))
         .drop("__bucket", "__offset")
     )
+    return ranked, running
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    bucket_col: str,
+    out_col: str = "rn",
+    descending: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global 1-based ``row_number() OVER (ORDER BY ...)`` without a
+    single-partition sort — for full-frame numberings (vocab IDs, decile
+    assignment) where ``ranked_topk`` doesn't apply because every row
+    keeps a rank.
+
+    Classic two-phase ranking: (1) approximate quantile boundaries of
+    ``bucket_col`` (must be the leading sort key, numeric; NULL keys get
+    a dedicated bucket at the Spark-default null position) split the
+    frame into ~equal ordered buckets, assigned map-side by a codegen'd
+    boundary scan; (2) ``row_number`` runs per-bucket (one hash exchange,
+    n_buckets-way parallel sort), then each bucket adds the exact count
+    of rows in all earlier buckets.  The offsets frame is n_buckets rows
+    — a bounded driver collect, same class as the heavy-hitter sets in
+    operators.joins.
+
+    The output is EXACTLY the global row_number for any boundary set:
+    boundaries only decide where buckets split, never relative order —
+    equal keys share a bucket (strict comparisons) and ties resolve in
+    the local window under the full ``order_by``.  Builds eagerly (two
+    small jobs: quantiles + bucket counts).
+    """
+    ranked, _ = _bucketed_ranking(df, order_by, bucket_col, out_col, descending, n_buckets)
+    return ranked
 
 
 def global_ntile(
@@ -123,18 +153,20 @@ def global_ntile(
     descending: bool = False,
     n_buckets: int = 64,
 ) -> DataFrame:
-    """Global ``ntile(n) OVER (ORDER BY ...)`` via global_row_number —
-    ANSI semantics (first ``n % n_tiles`` tiles get the extra row), total
-    row count known exactly from the ranking pass's bucket counts."""
-    ranked = global_row_number(df, order_by, bucket_col, "__grn", descending, n_buckets)
-    n = ranked.count()
+    """Global ``ntile(n) OVER (ORDER BY ...)`` via the bucketed ranking —
+    ANSI semantics (first ``n % n_tiles`` tiles get the extra row).  The
+    total row count comes from the ranking pass's own bucket counts (no
+    second scan), and the tile arithmetic is integer ``div`` throughout
+    (no floor-of-double at tile boundaries)."""
+    ranked, n = _bucketed_ranking(df, order_by, bucket_col, "__grn", descending, n_buckets)
     q, rem = divmod(n, n_tiles) if n else (0, 0)
-    rn = F.col("__grn")
     if q == 0:
-        tile = rn  # fewer rows than tiles: row i → tile i
+        tile = F.col("__grn")  # fewer rows than tiles: row i → tile i
     else:
         big = rem * (q + 1)
-        tile = F.when(rn <= big, F.ceil(rn / F.lit(q + 1))).otherwise(
-            F.lit(rem) + F.ceil((rn - F.lit(big)) / F.lit(q))
-        )
+        # ceil(a/b) as exact integer math: (a + b - 1) div b
+        tile = F.when(
+            F.col("__grn") <= big,
+            F.expr(f"(__grn + {q}) div {q + 1}"),
+        ).otherwise(F.expr(f"{rem} + (__grn - {big} + {q - 1}) div {q}"))
     return ranked.withColumn(out_col, tile.cast("int")).drop("__grn")

@@ -21,7 +21,7 @@ scoring passes of a training-data pipeline.  Determinism design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.functions.numeric import dec

@@ -209,8 +209,10 @@ def q175_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the histogram of a 100 TB fact costs exactly one scan."""
     o = read_table(spark, sf_dir, "orders", columns=["o_totalprice"])
     cents = (dec("o_totalprice") * 100).cast("bigint")
-    # all operands non-negative, so floor division == the oracle's //
-    bucket = F.floor((cents * 24) / F.lit(60_000_000)).cast("int") + 1
+    bucket = (
+        F.expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 24"
+               " div 60000000 AS INT)") + 1
+    )
     return (
         o.select(dec("o_totalprice").alias("__p"), bucket.alias("bucket"))
         .groupBy("bucket")
@@ -382,7 +384,7 @@ def q178_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "cnt",
-        F.floor(F.lit(1000) * F.col("cnt") / F.col("total")).alias("base_quota"),
+        F.expr("1000 * cnt div total").alias("base_quota"),
         F.pmod(F.lit(1000) * F.col("cnt"), F.col("total")).alias("remainder"),
     )
     shortfall = base.agg((F.lit(1000) - F.sum("base_quota")).alias("k"))

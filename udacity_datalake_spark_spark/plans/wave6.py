@@ -202,7 +202,9 @@ def q183_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, stride = 40, 24
     n = F.size(F.split("text", " "))
     n_chunks = F.when(n <= size, F.lit(1)).otherwise(
-        F.floor((n - size + (stride - 1)) / F.lit(stride)) + 1
+        F.expr(
+            f"(size(split(text, ' ')) - {size} + {stride - 1}) div {stride}"
+        ) + 1
     )
     last_len = F.when(n <= size, n).otherwise(n - (n_chunks - 1) * stride)
     chunk_tokens = n_chunks * size - (size - last_len)

@@ -11,7 +11,7 @@ formulation; both produce identical rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
