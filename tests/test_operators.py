@@ -287,3 +287,17 @@ def test_global_row_number_null_keys(spark):
         }
         want_t = {r.id: r.t for r in df.withColumn("t", F.ntile(3).over(w)).collect()}
         assert got_t == want_t, f"ntile descending={descending}: {got_t} != {want_t}"
+
+
+def test_read_text_lines(spark, tmp_path):
+    from udacity_datalake_spark_spark.sources.readers import read_text_lines
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("alpha\nbeta\n")
+    (p / "b.txt").write_text("gamma\n")
+    lines = read_text_lines(spark, str(p)).collect()
+    assert {r.value for r in lines} == {"alpha", "beta", "gamma"}
+    assert all(r.source_file.endswith((".txt",)) for r in lines)
+    docs = read_text_lines(spark, str(p), whole_file=True).collect()
+    assert {r.value for r in docs} == {"alpha\nbeta\n", "gamma\n"}

@@ -171,3 +171,18 @@ def read_json_feed_tolerant(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def read_text_lines(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Raw text ingest — the front door of a text-corpus pipeline.
+
+    ``whole_file=False``: one row per line (column ``value``), splittable
+    and parallel by file block.  ``whole_file=True``: one row per FILE
+    (``wholetext``) for formats where a document spans lines; each file
+    becomes a single task, so only use it when documents are file-sized.
+    Both carry ``source_file`` (``input_file_name``) so provenance
+    survives into the lake — the corpus-curation requirement that raw
+    ``spark.read.text`` alone drops.
+    """
+    df = spark.read.text(path, wholetext=whole_file)
+    return df.withColumn("source_file", F.input_file_name())
