@@ -126,3 +126,74 @@ def connected_components(
 
     und.unpersist()
     return labels
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the UNDIRECTED graph, in int64
+    fixed-point (parts-per-``scale``) — returns (node, rank_ppb).
+
+    Float PageRank sums contributions in partition order, so two runs
+    (or two engines) disagree in the last bits and no exact oracle can
+    exist.  Every operation here is integer — r₀ = scale div n, each
+    round r' = (15·scale) div (100·n) + (85·Σ contrib) div 100 with
+    contrib = r div degree — so the trajectory is BIT-IDENTICAL on any
+    engine, partitioning, or iteration schedule; the truncation the
+    integer divisions introduce is part of the (deterministic) spec.
+
+    Scale shape mirrors connected_components: edges are mirrored,
+    partitioned once on the join key and persisted; each round shuffles
+    only the (node, rank) frame, with lineage cut per round via
+    localCheckpoint.  Fixed iteration count — no convergence check, so
+    no extra action per round.
+    """
+    ed = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    )
+    und = (
+        ed.union(ed.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")))
+        .distinct()
+        .repartition("node")
+        .persist()
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("__deg"))
+    n = deg.count()
+    if n == 0:
+        und.unpersist()
+        schema = T.StructType(
+            [
+                T.StructField("node", T.LongType()),
+                T.StructField("rank_ppb", T.LongType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame([], schema)
+    base = (15 * scale) // (100 * n)
+    ranks = deg.select("node", F.lit(scale // n).cast("long").alias("rank_ppb"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            und.join(ranks, "node")
+            .join(deg, "node")
+            .select(
+                F.col("nbr").alias("node"),
+                F.expr("rank_ppb div __deg").alias("__c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        # right-join onto the node set so isolated-from-this-round nodes
+        # (none in an undirected graph, but keep the algebra total) still
+        # get the teleport term
+        ranks = deg.select("node").join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base) + F.expr("85 * coalesce(__s, 0L) div 100")
+            ).cast("long").alias("rank_ppb"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    und.unpersist()
+    return ranks

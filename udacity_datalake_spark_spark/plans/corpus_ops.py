@@ -632,3 +632,77 @@ def q195_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    """Generate the q196 oracle: the exact near-dup edge CTE (q45/q95's
+    pairs) + ``iters`` unrolled integer fixed-point PageRank steps.
+    Standard SQL forbids aggregation over the recursive reference in a
+    recursive CTE, so the fixed iteration count is unrolled as chained
+    CTEs — same integer arithmetic as the Spark loop, term for term."""
+    head = """
+    WITH
+    t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(arr) - 1),
+                         i -> array_to_string(arr[i:i+2], ' ')))) AS shingle
+           FROM t WHERE len(arr) >= 3),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    near AS (SELECT p.d1, p.d2
+             FROM pairs p
+             JOIN sz sa ON p.d1 = sa.doc_id
+             JOIN sz sb ON p.d2 = sb.doc_id
+             WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.6),
+    und AS (SELECT d1 AS node, d2 AS nbr FROM near
+            UNION SELECT d2, d1 FROM near),
+    deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS r
+           FROM deg CROSS JOIN nn)"""
+    steps = []
+    for k in range(iters):
+        steps.append(
+            f"""
+    r{k + 1} AS (
+        SELECT u.nbr AS node,
+               CAST(15000000000 // (100 * any_value(n))
+                    + 85 * sum(r // d) // 100 AS BIGINT) AS r
+        FROM r{k}
+        JOIN und u ON r{k}.node = u.node
+        JOIN deg ON r{k}.node = deg.node
+        CROSS JOIN nn
+        GROUP BY u.nbr
+    )"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\n    SELECT node, r AS rank_ppb FROM r{iters}"
+    )
+
+
+@query("q196_pagerank", oracle=_pagerank_oracle(10))
+def q196_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the exact near-dup document graph —
+    iterative graph analytics with a BIT-EXACT oracle, which float
+    PageRank can never have (partition-order double sums).  All
+    arithmetic is int64 parts-per-billion with integer division
+    (operators.graph.pagerank_fixed_point); the oracle unrolls the same
+    ten integer steps as chained CTEs.
+
+    Scale shape: the static mirrored edge list partitions once and
+    persists; each round shuffles only the (node, rank) frame and cuts
+    lineage with localCheckpoint — the connected_components posture
+    applied to a value-propagating (not label-collapsing) recursion.
+    Edges come from the EXACT prefix-filtered Jaccard path so the edge
+    set itself is oracle-identical by construction."""
+    from udacity_datalake_spark_spark.operators.dedup import ngram_jaccard_pairs
+    from udacity_datalake_spark_spark.operators.graph import pagerank_fixed_point
+
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    edges = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return pagerank_fixed_point(edges, src="d1", dst="d2", iters=10)
