@@ -301,3 +301,39 @@ def test_read_text_lines(spark, tmp_path):
     assert all(r.source_file.endswith((".txt",)) for r in lines)
     docs = read_text_lines(spark, str(p), whole_file=True).collect()
     assert {r.value for r in docs} == {"alpha\nbeta\n", "gamma\n"}
+
+
+def test_pagerank_fixed_point_star_graph(spark):
+    """Hand-checkable star: center 0 connected to 1,2,3.  Verify the
+    exact integer trajectory for two rounds, a custom scale, and the
+    empty-graph schema."""
+    from udacity_datalake_spark_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+
+    # replicate the integer spec in plain python
+    def expected(iters, scale):
+        deg = {0: 3, 1: 1, 2: 1, 3: 1}
+        n = 4
+        r = {v: scale // n for v in deg}
+        base = (15 * scale) // (100 * n)
+        for _ in range(iters):
+            s = {v: 0 for v in deg}
+            for u, vs in {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]}.items():
+                for v in vs:
+                    s[v] += r[u] // deg[u]
+            r = {v: base + (85 * s[v]) // 100 for v in deg}
+        return r
+
+    for iters, scale in [(1, 1_000_000_000), (2, 1_000_000_000), (3, 1_000_000)]:
+        got = {
+            r.node: r.rank_ppb
+            for r in pagerank_fixed_point(edges, iters=iters, scale=scale).collect()
+        }
+        assert got == expected(iters, scale), (iters, scale)
+
+    # empty graph (all endpoints null): empty result, node type preserved
+    nulls = spark.createDataFrame([(None, None)], "src string, dst string")
+    out = pagerank_fixed_point(nulls)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"node": "string", "rank_ppb": "bigint"}

@@ -152,22 +152,30 @@ def pagerank_fixed_point(
     localCheckpoint.  Fixed iteration count — no convergence check, so
     no extra action per round.
     """
+    # materialize the filtered edge list ONCE before mirroring — the
+    # union references it twice, and q196 feeds this an expensive
+    # Jaccard candidate join (same guard as connected_components)
     ed = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
         F.col(src).alias("node"), F.col(dst).alias("nbr")
-    )
+    ).localCheckpoint(eager=True)
     und = (
         ed.union(ed.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")))
         .distinct()
         .repartition("node")
         .persist()
     )
-    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("__deg"))
+    # deg is referenced twice per round (divisor join + teleport node
+    # set) and once for n — checkpoint so the aggregation runs once
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint(
+        eager=True
+    )
     n = deg.count()
     if n == 0:
         und.unpersist()
+        node_t = ed.schema["node"].dataType
         schema = T.StructType(
             [
-                T.StructField("node", T.LongType()),
+                T.StructField("node", node_t),
                 T.StructField("rank_ppb", T.LongType()),
             ]
         )
