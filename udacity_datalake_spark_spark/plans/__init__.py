@@ -28,6 +28,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     wave7,
     wave8,
     wave9,
+    wave10,
     textops,
     windows,
 )
