@@ -29,6 +29,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     wave8,
     wave9,
     wave10,
+    wave11,
     textops,
     windows,
 )
