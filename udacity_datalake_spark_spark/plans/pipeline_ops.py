@@ -96,21 +96,14 @@ def q65_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session flag → running sum (session number) → per-session aggregate.
     All four steps share the user_id hash partitioning, so Catalyst plans
     exactly ONE Exchange; time math is integer microseconds (no float
-    drift).  Streaming twin: q54 (`session_window`)."""
+    drift).  Shared implementation: operators.sessions.with_session_seq
+    (also behind q151 and q199).  Streaming twin: q54 (`session_window`)."""
+    from udacity_datalake_spark_spark.operators.sessions import with_session_seq
+
     e = read_table(spark, sf_dir, "events")
-    order = [F.col("ts"), F.col("event_id")]
-    w = Window.partitionBy("user_id").orderBy(*order)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us).over(w)
-    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (
-        e.select(
-            "user_id",
-            "ts",
-            us.alias("us"),
-            F.sum(new_session).over(run).alias("session_seq"),
-        )
+        with_session_seq(e)
+        .select("user_id", "ts", F.unix_micros("ts").alias("us"), "session_seq")
         .groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -65,15 +65,10 @@ def q151_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons do the stage gating (``first_click > first_view`` is
     NULL-false when either is missing) identically on both engines.
     """
+    from udacity_datalake_spark_spark.operators.sessions import with_session_seq
+
     e = read_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us).over(w)
-    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    sess = e.select(
-        "user_id", "ts", "event_type", F.sum(new_s).over(run).alias("session_seq")
-    )
+    sess = with_session_seq(e).select("user_id", "ts", "event_type", "session_seq")
     per_session = sess.groupBy("user_id", "session_seq").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),

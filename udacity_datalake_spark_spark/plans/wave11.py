@@ -10,10 +10,11 @@ order becomes part of the data, not an accident of partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_datalake_spark_spark.operators.topk import ranked_topk
+from udacity_datalake_spark_spark.operators.sessions import with_session_seq
+from udacity_datalake_spark_spark.operators.topk import global_row_number, ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
@@ -61,19 +62,7 @@ def q199_behavior_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     path count is vocabulary-keyed; the final cut is ranked_topk
     (TakeOrderedAndProject), so nothing global ever single-partitions."""
     e = read_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
-    new_s = F.when(
-        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > 1_800_000_000), 1
-    ).otherwise(0)
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.sum(new_s).over(w_run).alias("session_seq"),
-    )
+    sess = with_session_seq(e)
     paths = (
         sess.groupBy("user_id", "session_seq")
         .agg(
@@ -151,26 +140,24 @@ def q200_conversion_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("user_id", F.col("delay_us").cast("long").alias("delay_us"))
     )
-    from udacity_datalake_spark_spark.operators.topk import global_row_number
-
+    conv = conv.persist()  # feeds count, ranking (2 jobs), and summary
+    n = conv.count()
     ranked = global_row_number(
         conv, [F.col("delay_us"), F.col("user_id")], "delay_us", out_col="__rn"
     )
-    n = conv.count()
     p50_rank, p90_rank = (n + 1) // 2, (9 * n + 9) // 10
-    p50 = ranked.where(F.col("__rn") == p50_rank).select(
-        F.col("delay_us").alias("p50_us")
-    )
-    p90 = ranked.where(F.col("__rn") == p90_rank).select(
-        F.col("delay_us").alias("p90_us")
+    # single pass over the (≤2-row) rank hits; agg over an empty frame
+    # still yields one NULL row, so the n=0 case matches the oracle's
+    # always-one-row scalar-subquery shape
+    pcts = ranked.where(F.col("__rn").isin(p50_rank, p90_rank)).agg(
+        F.min(F.when(F.col("__rn") == p50_rank, F.col("delay_us"))).alias("p50_us"),
+        F.min(F.when(F.col("__rn") == p90_rank, F.col("delay_us"))).alias("p90_us"),
     )
     summary = conv.agg(
         F.count(F.lit(1)).alias("n_converted"),
         F.min("delay_us").alias("min_us"),
         F.max("delay_us").alias("max_us"),
     )
-    return (
-        summary.crossJoin(F.broadcast(p50))
-        .crossJoin(F.broadcast(p90))
-        .select("n_converted", "p50_us", "p90_us", "min_us", "max_us")
+    return summary.crossJoin(F.broadcast(pcts)).select(
+        "n_converted", "p50_us", "p90_us", "min_us", "max_us"
     )
