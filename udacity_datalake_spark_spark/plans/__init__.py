@@ -30,6 +30,7 @@ from udacity_datalake_spark_spark.plans import (  # noqa: F401
     wave9,
     wave10,
     wave11,
+    wave12,
     textops,
     windows,
 )
