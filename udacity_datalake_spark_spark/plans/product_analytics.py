@@ -370,8 +370,9 @@ def q161_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT channel,
            count(*) AS n_shares,
-           CAST(sum(CAST(round(value / n_touches, 6) AS DECIMAL(18,6)))
-                AS DOUBLE) AS attributed_revenue
+           round(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          * 10000 // n_touches) AS DOUBLE) / 1000000.0, 6)
+               AS attributed_revenue
     FROM joined GROUP BY channel
     """,
 )
@@ -383,8 +384,12 @@ def q162_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     The purchase↔touch join stays user-keyed (per-user touch × purchase
     products, bounded by per-user activity, never a global blow-up); the
     per-purchase touch count comes from one window over the joined frame
-    on the same key; each share rounds to DECIMAL(18,6) BEFORE the
-    channel sum so allocation is exact and order-independent.
+    on the same key; each share is allocated in integer MICRO-UNITS
+    (cents·10⁴ div n_touches) so the channel sum is int64-exact and
+    order-independent.  (The earlier DECIMAL(18,6) form rounded a DOUBLE
+    share first, and round-half semantics on binary doubles differ
+    between engines — ~30 boundary hits at sf0.1 drifted the totals by
+    3e-5; integer division has no boundary to disagree on.)
     """
     e = read_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
     touches = e.where(F.col("event_type").isin("view", "click")).select(
@@ -403,10 +408,14 @@ def q162_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(Window.partitionBy("event_id")).alias("n_touches"),
         )
     )
-    share = F.round(F.col("value") / F.col("n_touches"), 6).cast("decimal(18,6)")
+    share_micro = F.expr(
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000 div n_touches"
+    )
     return joined.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_shares"),
-        F.sum(share).cast("double").alias("attributed_revenue"),
+        F.round(F.sum(share_micro).cast("double") / 1_000_000.0, 6).alias(
+            "attributed_revenue"
+        ),
     )
 
 
