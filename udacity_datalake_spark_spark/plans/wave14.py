@@ -1,0 +1,141 @@
+"""Wave 14: decile lift/gains table and RFM segmentation — the two
+classic marketing-analytics reports, both built on the two-phase
+ranking operator so no user-dimension sort ever single-partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.functions.numeric import dec
+from udacity_datalake_spark_spark.operators.topk import global_ntile
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+
+@query(
+    "q206_decile_lift",
+    oracle="""
+    WITH ltv AS (
+        SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    tiled AS (
+        SELECT user_id, v,
+               ntile(10) OVER (ORDER BY v DESC, user_id) AS decile
+        FROM ltv
+    ),
+    per_decile AS (
+        SELECT decile, count(*) AS n_users, sum(v) AS decile_value
+        FROM tiled GROUP BY decile
+    ),
+    tot AS (SELECT sum(decile_value) AS total_v FROM per_decile)
+    SELECT decile, n_users,
+           CAST(decile_value AS DOUBLE) AS decile_value,
+           round(CAST(sum(decile_value) OVER (ORDER BY decile
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(total_v AS DOUBLE) * 100, 6) AS cum_value_pct
+    FROM per_decile CROSS JOIN tot
+    """,
+)
+def q206_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table: rank purchasers into value deciles and report
+    what share of total value each cumulative decile captures — the
+    "top 10% of customers hold X% of revenue" chart.
+
+    Deciles come from global_ntile (two-phase, no single-partition
+    window over users); value stays DECIMAL-exact through the per-decile
+    sums, and the cumulative window runs over the 10-row decile frame.
+    The only floats are the final per-row conversions."""
+    e = read_table(spark, sf_dir, "events", columns=["user_id", "event_type", "value"])
+    ltv = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(dec("value")).alias("v"))
+    )
+    keyed = ltv.withColumn("__vd", F.col("v").cast("double"))
+    tiled = global_ntile(
+        keyed, [F.col("v").desc(), F.col("user_id")], "__vd", 10,
+        out_col="decile", descending=True,
+    ).drop("__vd")
+    per_decile = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("v").alias("__dv")
+    )
+    tot = per_decile.agg(F.sum("__dv").alias("__tv"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_decile.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        F.col("__dv").cast("double").alias("decile_value"),
+        F.round(
+            F.sum("__dv").over(w).cast("double") / F.col("__tv").cast("double") * 100, 6
+        ).alias("cum_value_pct"),
+    )
+
+
+@query(
+    "q207_rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS ref FROM events),
+    rfm AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(max(ts) AS DATE),
+                              CAST((SELECT ref FROM mx) AS DATE)) AS BIGINT)
+                   AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(value AS DECIMAL(18,2))) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+               ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score, count(*) AS n_users
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q207_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile scores for recency (days since last
+    purchase — lower is better), frequency, and monetary value, reported
+    as segment population counts — the classic customer-base snapshot.
+
+    Each quintile is a global_ntile over the per-user aggregate (one row
+    per purchaser) with a deterministic (metric, user_id) order; the
+    three rankings chain on the same frame, and the monetary metric is
+    DECIMAL-exact until its double bucket key.  Per-user reduction
+    happens first, so all ranking work is user-dimension-sized."""
+    e = read_table(spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
+    mx = e.agg(F.max(F.to_date("ts")).alias("ref"))
+    rfm = (
+        e.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.first("ref"), F.max(F.to_date("ts"))).cast("long").alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec("value")).alias("monetary"),
+        )
+    )
+    keyed = rfm.withColumn("__r", F.col("recency_days").cast("double")).withColumn(
+        "__f", F.col("frequency").cast("double")
+    ).withColumn("__m", F.col("monetary").cast("double"))
+    scored = global_ntile(
+        keyed, [F.col("recency_days"), F.col("user_id")], "__r", 5, out_col="r_score"
+    )
+    scored = global_ntile(
+        scored, [F.col("frequency").desc(), F.col("user_id")], "__f", 5,
+        out_col="f_score", descending=True,
+    )
+    scored = global_ntile(
+        scored, [F.col("monetary").desc(), F.col("user_id")], "__m", 5,
+        out_col="m_score", descending=True,
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
