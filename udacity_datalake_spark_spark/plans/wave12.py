@@ -19,6 +19,22 @@ from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
 
+def _lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared lang × source contingency frame for q201/q202: exact cell
+    counts with row/column margins broadcast back and the grand total —
+    one construction, two statistics."""
+    d = read_table(spark, sf_dir, "documents", columns=["lang", "source"])
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.groupBy("lang").agg(F.sum("o").alias("row_n"))
+    cols = obs.groupBy("source").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    return (
+        obs.join(F.broadcast(margins), "lang")
+        .join(F.broadcast(cols), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+
+
 @query(
     "q201_chi_square_independence",
     oracle="""
@@ -54,18 +70,11 @@ def q201_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands and the rounded sum is the only float output.  Per-term
     float addition order is fixed by the oracle-matching rounded total
     over ≤cells values — identical in both engines at this magnitude."""
-    d = read_table(spark, sf_dir, "documents", columns=["lang", "source"])
-    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    margins = obs.groupBy("lang").agg(F.sum("o").alias("row_n"))
-    cols = obs.groupBy("source").agg(F.sum("o").alias("col_n"))
-    tot = obs.agg(F.sum("o").alias("n"))
+    cells = _lang_source_contingency(spark, sf_dir)
     e_cell = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
     term = (F.col("o") - e_cell) * (F.col("o") - e_cell) / e_cell
     return (
-        obs.join(F.broadcast(margins), "lang")
-        .join(F.broadcast(cols), "source")
-        .crossJoin(F.broadcast(tot))
-        .agg(
+        cells.agg(
             F.sum("o").alias("n_docs"),
             F.count(F.lit(1)).alias("n_cells"),
             F.round(F.sum(term), 6).alias("chi_square"),
@@ -99,19 +108,12 @@ def q202_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Identical scale shape to q201 (contingency table + broadcast
     margins); every log term evaluates from exact integer counts."""
-    d = read_table(spark, sf_dir, "documents", columns=["lang", "source"])
-    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    margins = obs.groupBy("lang").agg(F.sum("o").alias("row_n"))
-    cols = obs.groupBy("source").agg(F.sum("o").alias("col_n"))
-    tot = obs.agg(F.sum("o").alias("n"))
+    cells = _lang_source_contingency(spark, sf_dir)
     od, nd = F.col("o").cast("double"), F.col("n").cast("double")
     mi_term = od / nd * F.log(od * nd / (F.col("row_n").cast("double") * F.col("col_n")))
     h_term = od / nd * F.log(nd / od)
     return (
-        obs.join(F.broadcast(margins), "lang")
-        .join(F.broadcast(cols), "source")
-        .crossJoin(F.broadcast(tot))
-        .agg(
+        cells.agg(
             F.round(F.sum(mi_term), 6).alias("mutual_info_nats"),
             F.round(F.sum(h_term), 6).alias("joint_entropy_nats"),
         )

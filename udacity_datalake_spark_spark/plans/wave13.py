@@ -75,7 +75,7 @@ def q204_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.7, F.col("amn") - F.col("__m0") + 1
     ) * F.col("rev0")
     return hist.crossJoin(F.broadcast(first)).select(
-        (F.col("amn") / 12).cast("long").alias("y"),
+        F.expr("amn div 12").alias("y"),
         (F.col("amn") % 12 + 1).cast("long").alias("m"),
         F.round("arev", 2).alias("revenue"),
         F.round(ewma, 2).alias("ewma"),

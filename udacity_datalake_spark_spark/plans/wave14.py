@@ -110,21 +110,30 @@ def q207_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens first, so all ranking work is user-dimension-sized."""
     e = read_table(spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
     mx = e.agg(F.max(F.to_date("ts")).alias("ref"))
-    rfm = (
+    per_user = (
         e.where(F.col("event_type") == "purchase")
-        .crossJoin(F.broadcast(mx))
         .groupBy("user_id")
         .agg(
-            F.datediff(F.first("ref"), F.max(F.to_date("ts"))).cast("long").alias(
-                "recency_days"
-            ),
+            F.max(F.to_date("ts")).alias("__last"),
             F.count(F.lit(1)).alias("frequency"),
             F.sum(dec("value")).alias("monetary"),
         )
     )
+    # ref joins AFTER the per-user reduction (one row per purchaser, not
+    # per event); persist: three chained eager global_ntile passes below
+    # would otherwise re-run the events scan + aggregation ~7 times
+    rfm = (
+        per_user.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff("ref", "__last").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
     keyed = rfm.withColumn("__r", F.col("recency_days").cast("double")).withColumn(
         "__f", F.col("frequency").cast("double")
-    ).withColumn("__m", F.col("monetary").cast("double"))
+    ).withColumn("__m", F.col("monetary").cast("double")).persist()
     scored = global_ntile(
         keyed, [F.col("recency_days"), F.col("user_id")], "__r", 5, out_col="r_score"
     )
