@@ -148,3 +148,55 @@ def q207_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "q208_lifespan_survival",
+    oracle="""
+    WITH lifespans AS (
+        SELECT user_id,
+               date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+                   AS lifespan_days
+        FROM events GROUP BY user_id
+    ),
+    counts AS (
+        SELECT lifespan_days, count(*) AS n FROM lifespans GROUP BY lifespan_days
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT lifespan_days,
+           CAST(sum(n) OVER (ORDER BY lifespan_days DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_surviving,
+           round(CAST(sum(n) OVER (ORDER BY lifespan_days DESC
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / total, 6) AS survival_frac
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q208_lifespan_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve over user lifespans: for each observed lifespan d
+    (days between a user's first and last event), how many users — and
+    what fraction — survived AT LEAST d days.  The Kaplan-Meier-style
+    retention view (no censoring — the fixture window is closed).
+
+    The fact reduces to one lifespan per user (one user-keyed exchange),
+    then collapses to distinct-lifespan counts, so the reverse
+    cumulative window runs over a VALUE-BOUNDED frame (≤ observation
+    window in days — q137/q177's pre-aggregation discipline); counts are
+    exact int64, the fraction is one rounded double per row."""
+    e = read_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    lifespans = e.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("lifespan_days")
+    )
+    counts = lifespans.groupBy("lifespan_days").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    w = (
+        Window.orderBy(F.col("lifespan_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lifespan_days",
+        F.sum("n").over(w).alias("n_surviving"),
+        F.round(
+            F.sum("n").over(w).cast("double") / F.col("total"), 6
+        ).alias("survival_frac"),
+    )
