@@ -200,3 +200,75 @@ def q208_lifespan_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(w).cast("double") / F.col("total"), 6
         ).alias("survival_frac"),
     )
+
+
+@query(
+    "q209_market_basket_lift",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_type AS t
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT count(DISTINCT okey) AS n FROM items),
+    singles AS (SELECT t, count(*) AS n_t FROM items GROUP BY t),
+    pairs AS (
+        SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_ab
+        FROM items a JOIN items b ON a.okey = b.okey AND a.t < b.t
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) * n / (sa.n_t * CAST(sb.n_t AS DOUBLE)), 6)
+               AS lift
+    FROM pairs
+    JOIN singles sa ON type_a = sa.t
+    JOIN singles sb ON type_b = sb.t
+    CROSS JOIN n_orders
+    WHERE n_ab >= 5
+    """,
+)
+def q209_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: lift of part-type pairs co-occurring in
+    the same order (lift > 1 ⇒ bought together more than chance) — the
+    retail cross-sell signal, the classic Apriori first step.
+
+    The basket fact reduces to DISTINCT (order, type) via a broadcast
+    part-dimension join BEFORE any pair work, so the self-join blows up
+    only within an order's handful of types (never items²), and the pair
+    aggregate is bounded by the type-dimension square.  Marginals are
+    type-dimension frames broadcast back; lift is one rounded double per
+    surviving pair from exact counts."""
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    p = read_table(spark, sf_dir, "part", columns=["p_partkey", "p_type"])
+    items = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_type").alias("t"))
+        .distinct()
+    )
+    n_orders = items.agg(F.countDistinct("okey").alias("n"))
+    singles = items.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    a = items.select("okey", F.col("t").alias("type_a"))
+    b = items.select("okey", F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n")
+        / (F.col("__na") * F.col("__nb").cast("double"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("t").alias("type_a"), F.col("n_t").alias("__na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("t").alias("type_b"), F.col("n_t").alias("__nb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select("type_a", "type_b", "n_ab", F.round(lift, 6).alias("lift"))
+    )
