@@ -1,0 +1,319 @@
+"""Wave 15: distribution-comparison statistics (Kolmogorov–Smirnov,
+Mann–Whitney U), graph triangle counting, and time-series
+autocorrelation — four analysis families the surface did not yet cover.
+
+All four follow the registry's determinism rules: exact integer /
+DECIMAL accumulation end-to-end, with one rounded double conversion per
+output row.  The two rank statistics pre-aggregate the fact into a
+VALUE-BOUNDED bin frame (events.value spans a fixed range, so
+0.1-granularity bins are bounded by the range, not the row count) before
+any ordered window runs — the q137/q208 discipline that keeps
+unpartitioned windows off row-count-sized inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.functions.numeric import dec
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+
+def _two_sample_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin counts of the two compared samples: events.value rounded
+    to one decimal, split purchase vs click.  One map-side-combined
+    aggregate over the filtered fact; output is bounded by the value
+    range (~5k bins), independent of row count."""
+    e = read_table(spark, sf_dir, "events", columns=["event_type", "value"])
+    return (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .select(F.round("value", 1).alias("v"), "event_type")
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c2"),
+        )
+    )
+
+
+_TWO_SAMPLE_BINS_SQL = """
+        SELECT round(value, 1) AS v,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY v
+"""
+
+
+@query(
+    "q210_ks_two_sample",
+    oracle=f"""
+    WITH cells AS ({_TWO_SAMPLE_BINS_SQL}),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+            FROM cells),
+    cum AS (
+        SELECT CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum1,
+               CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum2
+        FROM cells
+    )
+    SELECT n1, n2,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+           round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                 / (n1 * CAST(n2 AS DOUBLE)), 6) AS ks_stat
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def q210_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the purchase and
+    click value distributions: D = max |F1(v) − F2(v)| over the (0.1-
+    granularity) empirical CDFs — the standard drift test between two
+    observed distributions.
+
+    The fact collapses to value-bounded bins first, so the single
+    cumulative window runs over ~5k rows regardless of scale; the sup
+    is computed on the EXACT integer cross-product |cum1·n2 − cum2·n1|
+    (no float CDFs), and only the final D divides in double."""
+    cells = _two_sample_bins(spark, sf_dir)
+    tot = cells.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cells.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    d_num = F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            d_num.alias("ks_num"),
+            F.round(
+                d_num.cast("double") / (F.col("n1") * F.col("n2").cast("double")), 6
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@query(
+    "q211_mann_whitney",
+    oracle=f"""
+    WITH cells AS ({_TWO_SAMPLE_BINS_SQL}),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+            FROM cells),
+    ranked AS (
+        SELECT c1, c2,
+               CAST(sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    - (c1 + c2) AS BIGINT) AS prev_cum
+        FROM cells
+    )
+    SELECT n1, n2,
+           CAST(sum(c1 * (2 * prev_cum + c1 + c2 + 1)) AS BIGINT) AS two_r1,
+           CAST(2 * n1 * n2 + n1 * (n1 + 1)
+                - sum(c1 * (2 * prev_cum + c1 + c2 + 1)) AS BIGINT) AS two_u1,
+           round(CAST(2 * n1 * n2 + n1 * (n1 + 1)
+                      - sum(c1 * (2 * prev_cum + c1 + c2 + 1)) AS DOUBLE)
+                 / (2 * n1 * CAST(n2 AS DOUBLE)), 6) AS auc
+    FROM ranked CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def q211_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) statistic for purchase vs click values,
+    with midrank tie handling, plus the equivalent AUC = U/(n1·n2) —
+    the nonparametric "is one distribution stochastically larger"
+    companion to q210's KS.
+
+    Ties get the textbook average rank, kept EXACT by doubling: a tie
+    group starting after prev_cum pooled observations has
+    2·avgrank = 2·prev_cum + (c1+c2) + 1, an integer — so the rank sum
+    2R1, and U via 2U1 = 2n1n2 + n1(n1+1) − 2R1, are exact BIGINTs.
+    Same bounded bin frame as q210; one window, one aggregate."""
+    cells = _two_sample_bins(spark, sf_dir)
+    tot = cells.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = cells.select(
+        "c1",
+        "c2",
+        (F.sum(F.col("c1") + F.col("c2")).over(w) - (F.col("c1") + F.col("c2"))).alias(
+            "prev_cum"
+        ),
+    )
+    two_r1 = F.sum(
+        F.col("c1") * (2 * F.col("prev_cum") + F.col("c1") + F.col("c2") + 1)
+    )
+    two_u1 = 2 * F.col("n1") * F.col("n2") + F.col("n1") * (F.col("n1") + 1) - two_r1
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            two_r1.alias("two_r1"),
+            two_u1.alias("two_u1"),
+            F.round(
+                two_u1.cast("double")
+                / (2 * F.col("n1") * F.col("n2").cast("double")),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+@query(
+    "q212_triangle_count",
+    oracle="""
+    WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+    pairs AS (
+        SELECT a.sk AS u, b.sk AS w, count(*) AS shared
+        FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk
+        GROUP BY 1, 2
+    ),
+    stats AS (SELECT count(*) AS n_pairs, CAST(sum(shared) AS BIGINT) AS total_occ
+              FROM pairs),
+    edges AS (
+        SELECT u, w FROM pairs CROSS JOIN stats
+        WHERE shared * n_pairs * 10 >= 11 * total_occ
+    )
+    SELECT
+        (SELECT count(DISTINCT x) FROM (
+            SELECT u AS x FROM edges UNION SELECT w FROM edges)) AS n_nodes,
+        (SELECT count(*) FROM edges) AS n_edges,
+        (SELECT count(*)
+         FROM edges e1 JOIN edges e2 ON e2.u = e1.w
+                       JOIN edges e3 ON e3.u = e1.u AND e3.w = e2.w) AS n_triangles
+    """,
+)
+def q212_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the supplier co-supply graph: suppliers are
+    linked when they supply the same part at least 1.1× the mean number
+    of shared parts (a scale-adaptive integer threshold — the edge rule
+    tracks corpus density instead of a fixed constant), and triangles
+    are counted by the classic oriented wedge join.
+
+    Scale shape: the bipartite fact reduces to DISTINCT (part, supplier)
+    first, so pair generation blows up only within a part's supplier
+    list (never suppliers²); edges are oriented u < w, so each triangle
+    is counted exactly once and the wedge join's fan-out is bounded by
+    Σ out-deg² — at 100 TB the documented refinement is orienting by
+    (degree, id) instead of raw id, which provably caps out-degree at
+    O(√m) (Suri–Vassilvitskii); id orientation is used here because the
+    oracle must mirror the exact edge set."""
+    sp = (
+        read_table(spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    a = sp.select("pk", F.col("sk").alias("u"))
+    b = sp.select("pk", F.col("sk").alias("w"))
+    pairs = (
+        a.join(b, "pk")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("shared").alias("total_occ")
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(stats))
+        .where(F.col("shared") * F.col("n_pairs") * 10 >= 11 * F.col("total_occ"))
+        .select("u", "w")
+        .persist()  # three consumers below; the pair-gen join is the expensive part
+    )
+    nodes = edges.select(F.col("u").alias("x")).union(edges.select("w")).agg(
+        F.countDistinct("x").alias("n_nodes")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1 = edges.select(F.col("u").alias("a"), F.col("w").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("w").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("w").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+
+
+@query(
+    "q213_hourly_autocorr",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY h
+    ),
+    lagged AS (
+        SELECT x,
+               lag(x, 1) OVER (ORDER BY h) AS x1,
+               lag(x, 24) OVER (ORDER BY h) AS x24
+        FROM hourly
+    ),
+    k1 AS (
+        SELECT 1 AS lag_hours, count(*) AS n_pairs,
+               sum(x) AS sx, sum(x1) AS sy, sum(x * x) AS sxx,
+               sum(x1 * x1) AS syy, sum(x * x1) AS sxy
+        FROM lagged WHERE x1 IS NOT NULL
+    ),
+    k24 AS (
+        SELECT 24 AS lag_hours, count(*) AS n_pairs,
+               sum(x) AS sx, sum(x24) AS sy, sum(x * x) AS sxx,
+               sum(x24 * x24) AS syy, sum(x * x24) AS sxy
+        FROM lagged WHERE x24 IS NOT NULL
+    ),
+    u AS (SELECT * FROM k1 UNION ALL SELECT * FROM k24)
+    SELECT lag_hours, CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+               AS autocorr
+    FROM u
+    """,
+)
+def q213_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-24 autocorrelation of hourly purchase revenue — the
+    time-series self-similarity probe (lag-24 exposes daily
+    seasonality; lag-1 short-term momentum).
+
+    The fact reduces to an hourly series (time-window-bounded, ~720
+    rows per month at any SF) in integer CENTS, so the five power sums
+    are exact int64 accumulations (q128's discipline — Spark's
+    double-based corr is partition-order dependent); cross-terms like
+    sx·sy that outgrow int64 are evaluated in DECIMAL(38,0) and only
+    the final Pearson ratio is double.  One fact aggregate, one bounded
+    window, one 2-row result."""
+    e = read_table(spark, sf_dir, "events", columns=["event_type", "ts", "value"])
+    hourly = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg((F.sum(dec("value")) * 100).cast("long").alias("x"))
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "x", F.lag("x", 1).over(w).alias("x1"), F.lag("x", 24).over(w).alias("x24")
+    )
+
+    def corr_at(xl: str, k: int) -> DataFrame:
+        d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        s = lagged.where(F.col(xl).isNotNull()).agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("x").alias("sx"),
+            F.sum(xl).alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col(xl) * F.col(xl)).alias("syy"),
+            F.sum(F.col("x") * F.col(xl)).alias("sxy"),
+        )
+        n = F.col("n_pairs")
+        num = d38(n * F.col("sxy")) - d38(F.col("sx")) * d38(F.col("sy"))
+        vx = d38(n * F.col("sxx")) - d38(F.col("sx")) * d38(F.col("sx"))
+        vy = d38(n * F.col("syy")) - d38(F.col("sy")) * d38(F.col("sy"))
+        return s.select(
+            F.lit(k).cast("int").alias("lag_hours"),
+            n.alias("n_pairs"),
+            F.round(
+                num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), 6
+            ).alias("autocorr"),
+        )
+
+    return corr_at("x1", 1).unionAll(corr_at("x24", 24))
