@@ -305,6 +305,7 @@ PANDAS_ALLOWLIST = {
     "q148_media_phash_pairs",
     "q193_wav_decode",
     "q194_ppm_decode",
+    "q215_heavy_hitter_bigrams",
 }
 
 

@@ -160,10 +160,11 @@ def q211_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q212_triangle_count",
-    oracle="""
-    WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+#: Shared CTE chain: the supplier co-supply graph (suppliers linked when
+#: they co-supply ≥1.1× the mean number of shared parts).  Used by q212
+#: and wave16's q217 so both query pairs agree on the exact edge set.
+COSUPPLY_EDGES_SQL = """
+    sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
     pairs AS (
         SELECT a.sk AS u, b.sk AS w, count(*) AS shared
         FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk
@@ -175,6 +176,57 @@ def q211_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u, w FROM pairs CROSS JOIN stats
         WHERE shared * n_pairs * 10 >= 11 * total_occ
     )
+"""
+
+
+def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge list (u < w) of the supplier co-supply graph — the Spark twin
+    of COSUPPLY_EDGES_SQL.  The bipartite fact reduces to DISTINCT
+    (part, supplier) first, so pair generation blows up only within a
+    part's supplier list (never suppliers²); the 1.1×-mean threshold is
+    scale-adaptive pure-integer arithmetic.  Callers persist: the
+    pair-generation join dominates and every consumer reuses it."""
+    sp = (
+        read_table(spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    a = sp.select("pk", F.col("sk").alias("u"))
+    b = sp.select("pk", F.col("sk").alias("w"))
+    pairs = (
+        a.join(b, "pk")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("shared").alias("total_occ")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .where(F.col("shared") * F.col("n_pairs") * 10 >= 11 * F.col("total_occ"))
+        .select("u", "w")
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Single-row triangle count of an oriented (u < w) edge list via the
+    classic wedge join: each triangle a<b<c matches exactly once, and
+    the wedge fan-out is bounded by Σ out-deg²."""
+    e1 = edges.select(F.col("u").alias("a"), F.col("w").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("w").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("w").alias("c3"))
+    return (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@query(
+    "q212_triangle_count",
+    oracle=f"""
+    WITH {COSUPPLY_EDGES_SQL}
     SELECT
         (SELECT count(DISTINCT x) FROM (
             SELECT u AS x FROM edges UNION SELECT w FROM edges)) AS n_nodes,
@@ -199,40 +251,13 @@ def q212_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degree, id) instead of raw id, which provably caps out-degree at
     O(√m) (Suri–Vassilvitskii); id orientation is used here because the
     oracle must mirror the exact edge set."""
-    sp = (
-        read_table(spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
-        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
-        .distinct()
-    )
-    a = sp.select("pk", F.col("sk").alias("u"))
-    b = sp.select("pk", F.col("sk").alias("w"))
-    pairs = (
-        a.join(b, "pk")
-        .where(F.col("u") < F.col("w"))
-        .groupBy("u", "w")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    stats = pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"), F.sum("shared").alias("total_occ")
-    )
-    edges = (
-        pairs.crossJoin(F.broadcast(stats))
-        .where(F.col("shared") * F.col("n_pairs") * 10 >= 11 * F.col("total_occ"))
-        .select("u", "w")
-        .persist()  # three consumers below; the pair-gen join is the expensive part
-    )
+    # three consumers below; the pair-gen join is the expensive part
+    edges = cosupply_edges(spark, sf_dir).persist()
     nodes = edges.select(F.col("u").alias("x")).union(edges.select("w")).agg(
         F.countDistinct("x").alias("n_nodes")
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    e1 = edges.select(F.col("u").alias("a"), F.col("w").alias("b"))
-    e2 = edges.select(F.col("u").alias("b2"), F.col("w").alias("c"))
-    e3 = edges.select(F.col("u").alias("a3"), F.col("w").alias("c3"))
-    tri = (
-        e1.join(e2, e1.b == e2.b2)
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    tri = triangles(edges)
     return nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
 
 
