@@ -117,6 +117,64 @@ def test_clustered_write_produces_tight_rowgroup_stats(spark, sf_dir, tmp_path):
     assert spark.read.parquet(clustered).count() == ev.count()
 
 
+def test_zorder_key_interleaves_bits(spark):
+    """Morton key of (x=0b11, y=0b01) at 2 bits: x lanes 0/2 set, y lane 1
+    set → 0b0111 = 7; and (x=0, y=0b10) → y bit1 at lane 3 → 8."""
+    from udacity_datalake_spark_spark.sources.writers import zorder_key
+
+    df = spark.createDataFrame([(3, 1), (0, 2)], "x long, y long")
+    got = [r.z for r in df.select(zorder_key(["x", "y"], bits=2).alias("z")).collect()]
+    assert got == [7, 8]
+
+
+def test_zorder_write_localizes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order on (partkey-bucket, suppkey) must leave each file narrow in
+    BOTH columns' footer stats, while single-column range clustering
+    leaves the trailing column spanning ~the whole domain."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from udacity_datalake_spark_spark.sources.readers import read_table
+    from udacity_datalake_spark_spark.sources.writers import (
+        write_clustered_parquet,
+        write_zorder_parquet,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    # normalize both dims to the same 7-bit depth so the interleave
+    # spends its lanes evenly (the caller-side contract of zorder_key)
+    hi_p, hi_s = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    pts = li.select(
+        (F.col("l_partkey") * 128 / (hi_p + 1)).cast("long").alias("px"),
+        (F.col("l_suppkey") * 128 / (hi_s + 1)).cast("long").alias("sx"),
+    )
+    zpath, cpath = str(tmp_path / "zorder"), str(tmp_path / "lex")
+    write_zorder_parquet(pts, zpath, ["px", "sx"], bits=7, target_files=16)
+    write_clustered_parquet(pts, cpath, ["px"], target_files=16)
+
+    def spans(path, col):
+        out = []
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min), maxs.append(st.max)
+            out.append(max(maxs) - min(mins))
+        return out
+
+    # z-order: files narrow in BOTH dims (≤ half the 128 domain).  One
+    # file may straddle a high-bit Z-curve discontinuity and span wide in
+    # one dim — allow a single outlier per dim, the curve's known cost.
+    assert sorted(spans(zpath, "px"))[-2] <= 64, spans(zpath, "px")
+    assert sorted(spans(zpath, "sx"))[-2] <= 64, spans(zpath, "sx")
+    # lexicographic: leading dim tight, trailing dim spans ~everything
+    assert max(spans(cpath, "px")) <= 32
+    assert min(spans(cpath, "sx")) > 100, spans(cpath, "sx")
+    assert spark.read.parquet(zpath).count() == pts.count()
+
+
 def test_orc_roundtrip(spark, sf_dir, tmp_path):
     from udacity_datalake_spark_spark.sources.readers import read_orc, read_table
     from udacity_datalake_spark_spark.sources.writers import write_orc
