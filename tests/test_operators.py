@@ -238,6 +238,38 @@ def test_global_ntile_equals_window(spark, sf_dir):
         assert got == want, f"ntile({n_tiles}) diverged"
 
 
+def test_global_running_sum_equals_window(spark, sf_dir):
+    """Two-phase bucketed prefix sum must equal the single-partition
+    running-sum window bit-for-bit (DECIMAL values, heavy ties)."""
+    from pyspark.sql import Window
+
+    from udacity_datalake_spark_spark.functions.numeric import dec
+    from udacity_datalake_spark_spark.operators.topk import global_running_sum
+    from udacity_datalake_spark_spark.sources.readers import read_table
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", dec("n_chars").alias("v"))
+        .withColumn("__k", F.col("n_chars").cast("double"))
+    )
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    got = {
+        r.doc_id: r.running
+        for r in global_running_sum(
+            d, order, "__k", "v", descending=True, n_buckets=7
+        ).collect()
+    }
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.doc_id: r.running
+        for r in d.withColumn("running", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
 def test_ranked_topk_equals_window(spark, sf_dir):
     from pyspark.sql import Window
 

@@ -54,17 +54,15 @@ def ranked_topk(
     return top.withColumn(rank_col, F.row_number().over(w))
 
 
-def _bucketed_ranking(
-    df: DataFrame,
-    order_by: list[Column],
-    bucket_col: str,
-    out_col: str,
-    descending: bool,
-    n_buckets: int,
-) -> tuple[DataFrame, int]:
-    """Shared core of global_row_number/global_ntile: the ranked frame
-    plus the EXACT total row count (already known from the per-bucket
-    counts — no extra job)."""
+def _assign_buckets(
+    df: DataFrame, bucket_col: str, descending: bool, n_buckets: int
+) -> DataFrame:
+    """``df`` plus an ordered ``__bucket`` column: approximate quantile
+    boundaries of ``bucket_col`` split the frame into ~equal ordered
+    buckets, assigned map-side by a codegen'd boundary scan.  Bucket ids
+    increase along the sort direction; any boundary set yields a CORRECT
+    (if unbalanced) bucketing, since equal keys always share a bucket
+    (strict comparisons)."""
     key = F.col(bucket_col).cast("double")
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(df.approxQuantile(bucket_col, probs, 0.001)), reverse=descending)
@@ -87,7 +85,62 @@ def _bucketed_ranking(
     else:
         nonnull = F.lit(0)
     bucket = F.when(key.isNull(), null_bucket).otherwise(nonnull)
-    bucketed = df.withColumn("__bucket", bucket)
+    return df.withColumn("__bucket", bucket)
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    bucket_col: str,
+    value_col: str,
+    out_col: str = "running",
+    descending: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global inclusive ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` without a single-partition sort — for full-frame prefix
+    aggregates (cumulative revenue share, Pareto/ABC cutoffs) where
+    every row keeps its running total.
+
+    Same two-phase shape as ``global_row_number``: quantile buckets of
+    ``bucket_col`` (the leading sort key), a per-bucket running sum (one
+    hash exchange, n_buckets-way parallel sort), and each bucket offset
+    by the total of all earlier buckets.  The offsets come from a window
+    over the n_buckets-row bucket-sums frame — bounded, no driver
+    round-trip, and exact for DECIMAL/integer values (the engine's
+    aggregation types), so the result is bit-identical to the
+    single-partition window it replaces."""
+    bucketed = _assign_buckets(df, bucket_col, descending, n_buckets)
+    bsums = bucketed.groupBy("__bucket").agg(F.sum(value_col).alias("__bsum"))
+    woff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bsums.select(
+        "__bucket",
+        F.coalesce(F.sum("__bsum").over(woff), F.lit(0)).alias("__offset"),
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offs), "__bucket")
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("__offset"))
+        .drop("__bucket", "__offset")
+    )
+
+
+def _bucketed_ranking(
+    df: DataFrame,
+    order_by: list[Column],
+    bucket_col: str,
+    out_col: str,
+    descending: bool,
+    n_buckets: int,
+) -> tuple[DataFrame, int]:
+    """Shared core of global_row_number/global_ntile: the ranked frame
+    plus the EXACT total row count (already known from the per-bucket
+    counts — no extra job)."""
+    bucketed = _assign_buckets(df, bucket_col, descending, n_buckets)
 
     counts = {
         r["__bucket"]: r["cnt"]
