@@ -342,3 +342,44 @@ def test_global_topk_plans_take_ordered(spark, sf_dir):
         assert "TakeOrderedAndProject" in plan, (
             f"{name}: expected TakeOrderedAndProject in plan, got:\n{plan[:2000]}"
         )
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A partitioned fact joined to a selective dim on the partition
+    column must plan a dynamicpruning subquery in the scan's
+    PartitionFilters — at 100 TB this is what keeps a one-year probe of
+    a decade-partitioned table from listing every partition.  The conf
+    is enabled in session.py; this proves it actually fires."""
+    from udacity_datalake_spark_spark.explain import explain_str
+    from udacity_datalake_spark_spark.sources.writers import write_parquet
+
+    path = str(tmp_path / "orders_by_year")
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_parquet(o, path, partition_by=["o_year"])
+    fact = spark.read.parquet(path)
+    # DPP requires a SELECTIVE predicate on the dim side — a bare tiny
+    # table doesn't qualify (no filter to derive pruning keys from)
+    dim = spark.createDataFrame(
+        [(1995, "probe"), (1996, "other")], "y int, tag string"
+    ).where(F.col("tag") == "probe")
+    j = fact.join(dim, fact.o_year == dim.y).groupBy("tag").count()
+    plan = explain_str(j)
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_static_partition_pruning_limits_scan(spark, sf_dir, tmp_path):
+    """A literal filter on the partition column must land in
+    PartitionFilters (directory-level pruning), not PushedFilters."""
+    from udacity_datalake_spark_spark.explain import explain_str
+    from udacity_datalake_spark_spark.sources.writers import write_parquet
+
+    path = str(tmp_path / "orders_by_year_static")
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_parquet(o, path, partition_by=["o_year"])
+    df = spark.read.parquet(path).where(F.col("o_year") == 1995)
+    lines = [l for l in explain_str(df).splitlines() if "PartitionFilters" in l]
+    assert lines and any("1995" in l for l in lines), lines
