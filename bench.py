@@ -67,6 +67,16 @@ HEADLINE = [
     "q188_id_gap_audit",
     "q189_curriculum_phases",
     "q195_curation_pipeline",
+    # round-2 wave 15-20 operator families: bounded-bin statistics,
+    # wedge-join graph metrics, MG heavy hitters, grid spatial join,
+    # two-phase prefix sum, budget selection, basket recommender
+    "q210_ks_two_sample",
+    "q212_triangle_count",
+    "q215_heavy_hitter_bigrams",
+    "q218_grid_spatial_join",
+    "q222_abc_xyz_classification",
+    "q227_token_budget_selection",
+    "q229_item_neighbors",
     # q155 (sparse cosine) is deliberately NOT a headline query: on the
     # synthetic corpus's ~30-term vocabulary every doc shares its "top"
     # terms with most others, so the qualifying-pair OUTPUT itself is

@@ -207,3 +207,52 @@ def test_sequence_gaps_property(spark, ids, bucket_width):
     )
     want = {(r.id, r.next_id, r.next_id - r.id - 1) for r in naive.collect()}
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(-40, 40)),
+        min_size=0, max_size=12,
+    ),
+    d=st.sampled_from([1, 5, 13]),
+)
+@SETTINGS
+def test_grid_radius_self_join_property(spark, pts, d):
+    """Grid-bucketed radius search must equal the brute-force quadratic
+    join exactly — every pair once, none missed, including negative
+    coordinates (floor cells) and points on cell boundaries."""
+    from udacity_datalake_spark_spark.operators.spatial import grid_radius_self_join
+
+    if not pts:
+        return
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    p = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(
+        (r.a_id, r.b_id, r.d2) for r in grid_radius_self_join(p, d).collect()
+    )
+    want = sorted(
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for i, a in enumerate(rows)
+        for b in rows[i + 1:]
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= d * d
+    )
+    assert got == want
+
+
+@given(
+    values=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60),
+    width=st.sampled_from([2, 4, 8]),
+)
+@SETTINGS
+def test_mg_candidates_superset_property(spark, values, width):
+    """Misra–Gries candidates must be a superset of every value with
+    global frequency > n/(width+1), for any width and partitioning."""
+    from collections import Counter
+
+    from udacity_datalake_spark_spark.operators.sketches import mg_candidates
+
+    df = spark.createDataFrame([(v,) for v in values], "term string").repartition(3)
+    got = {r.term for r in mg_candidates(df, "term", width).collect()}
+    n = len(values)
+    must_have = {v for v, c in Counter(values).items() if c > n / (width + 1)}
+    assert must_have <= got, (must_have, got)

@@ -11,13 +11,10 @@ itself is shuffle-hostile at 100 TB.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from udacity_datalake_spark_spark.operators.sketches import mg_candidates
 from udacity_datalake_spark_spark.plans.pipeline_ops import _md5_bucket
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.plans.wave15 import (
@@ -155,23 +152,7 @@ def q215_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = arr.agg(F.sum(F.size("arr") - 1).alias("n"))
 
-    width = 2000
-
-    def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for term, cnt in pdf["bigram"].value_counts().items():
-                counters[term] = counters.get(term, 0) + int(cnt)
-            if len(counters) > width:
-                # classic MG decrement: drop the (len-width) smallest by
-                # subtracting the k-th smallest count from everyone
-                cut = sorted(counters.values())[len(counters) - width - 1]
-                counters = {t: c - cut for t, c in counters.items() if c > cut}
-        yield pd.DataFrame({"bigram": list(counters.keys())})
-
-    candidates = (
-        bigrams.mapInPandas(mg_candidates, "bigram string").distinct()
-    )
+    candidates = mg_candidates(bigrams, "bigram", width=2000)
     exact = (
         bigrams.join(F.broadcast(candidates), "bigram")
         .groupBy("bigram")

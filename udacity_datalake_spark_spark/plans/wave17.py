@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.functions.numeric import dec
+from udacity_datalake_spark_spark.operators.spatial import grid_radius_self_join
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
@@ -66,26 +67,9 @@ def q218_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * _XMULT) % _UNIT).alias("x"),
         (((F.col("c_custkey") + _YOFF) * _YMULT) % _UNIT).alias("y"),
     )
-    home = pts.select(
-        "id", "x", "y",
-        (F.col("x") / _CELL).cast("long").alias("cx"),
-        (F.col("y") / _CELL).cast("long").alias("cy"),
-    )
-    offsets = F.array([F.lit(o) for o in (-1, 0, 1)])
-    probe = (
-        home.withColumn("ox", F.explode(offsets))
-        .withColumn("oy", F.explode(offsets))
-        .select(
-            F.col("id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"),
-            (F.col("cx") + F.col("ox")).alias("cx"),
-            (F.col("cy") + F.col("oy")).alias("cy"),
-        )
-    )
-    cand = probe.join(home, ["cx", "cy"]).where(F.col("a_id") < F.col("id"))
-    dx, dy = F.col("ax") - F.col("x"), F.col("ay") - F.col("y")
-    d2 = dx * dx + dy * dy
-    return cand.where(d2 <= _D2).agg(
-        F.count(F.lit(1)).alias("n_pairs"), F.sum(d2).alias("sum_sq_dist")
+    pairs = grid_radius_self_join(pts, _CELL)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("d2").alias("sum_sq_dist")
     )
 
 
