@@ -120,11 +120,11 @@ def q214_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT bigram, n_occurrences,
            round(n_occurrences / CAST(n AS DOUBLE), 6) AS token_share
     FROM c CROSS JOIN tot
-    WHERE n_occurrences * 2000 > 3 * n
+    WHERE n_occurrences * 2500 > 2 * n
     """,
 )
 def q215_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent word-bigram detection (share > 0.15%) via two-pass
+    """Frequent word-bigram detection (share > 0.08%) via two-pass
     Misra–Gries: the boilerplate-phrase probe that, at corpus scale,
     must NOT shuffle the full bigram vocabulary.
 
@@ -133,7 +133,7 @@ def q215_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     across batches — one of the engine's declared pandas paths): any
     bigram with global share > 1/2000 survives in at least one
     partition's summary (weighted-average pigeonhole), so the union of
-    per-partition candidates is a guaranteed superset of the > 0.15%
+    per-partition candidates is a guaranteed superset of the > 0.08%
     target set at ≤ width·partitions rows.  Pass 2 exactly recounts
     ONLY the candidates via a broadcast semi-join — the shuffle carries
     candidate bigrams, never the vocabulary.  The final exact-count
@@ -160,7 +160,7 @@ def q215_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exact.crossJoin(F.broadcast(total))
-        .where(F.col("n_occurrences") * 2000 > 3 * F.col("n"))
+        .where(F.col("n_occurrences") * 2500 > 2 * F.col("n"))
         .select(
             "bigram",
             "n_occurrences",
