@@ -150,6 +150,87 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold_permille: int = 900
+) -> DataFrame:
+    """Asymmetric containment pairs: (small, big, containment, jaccard)
+    where C(small→big) = |S∩B| / |S| ≥ threshold and |S| ≤ |B| — the
+    quote/aggregator detector.  A doc whose shingles live almost
+    entirely inside a LARGER doc is invisible to symmetric Jaccard
+    (J ≈ |S|/|B| can be tiny), which is exactly how quoted articles and
+    scraped aggregations evade near-dup removal.
+
+    Prefix filter, containment flavor (ngram_jaccard_pairs's machinery
+    with the asymmetric bound): a qualifying pair must share a shingle
+    within the SMALL doc's first ``⌊(1−t)·sz⌋ + 1`` rarest shingles —
+    if every shared shingle sat beyond that prefix, the intersection
+    would be ≤ sz − (⌊(1−t)·sz⌋+1) < t·sz.  Only the small side prunes
+    (the big side must stay fully probeable), orientation is
+    (size, id)-lexicographic so each unordered pair is generated once,
+    and the exact verify intersects the true shingle arrays in codegen
+    — candidates only, never all pairs.  The admission test is exact
+    integer cross-multiplication (inter·1000 ≥ t‰·sz) — a float
+    threshold times an int size rounds wrong on exact boundaries."""
+    t = threshold_permille
+    arrs = (
+        spread(df)
+        .where(F.size(tokens(text_col)) >= n)
+        .select(F.col(id_col), shingles(text_col, n).alias("__arr"))
+        .withColumn("__sz", F.size("__arr"))
+        .persist()
+    )
+    sh = arrs.select(id_col, "__sz", F.explode("__arr").alias("__shingle")).select(
+        id_col, "__sz", F.xxhash64(F.lit(7), F.col("__shingle")).alias("__tok")
+    )
+    dfreq = sh.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "__tok")
+    # ⌊(1000−t)·sz/1000⌋ + 1 in pure integer arithmetic
+    pref_len = ((F.col("__sz") * (1000 - t)) / 1000).cast("long") + 1
+    small = (
+        sh.join(dfreq, "__tok")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= pref_len)
+        .select(F.col(id_col).alias("d_small"), F.col("__sz").alias("__szs"), "__tok")
+    )
+    big = sh.select(
+        F.col(id_col).alias("d_big"), F.col("__sz").alias("__szb"), "__tok"
+    )
+    oriented = (F.col("__szs") < F.col("__szb")) | (
+        (F.col("__szs") == F.col("__szb")) & (F.col("d_small") < F.col("d_big"))
+    )
+    cand = (
+        small.join(big, "__tok")
+        .where(oriented)
+        .select("d_small", "d_big", "__szs", "__szb")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("__a1", "__a2"))
+    return (
+        cand.join(
+            arrs.select(F.col(id_col).alias("d_small"), F.col("__arr").alias("__a1")),
+            "d_small",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("d_big"), F.col("__arr").alias("__a2")),
+            "d_big",
+        )
+        .select("d_small", "d_big", "__szs", "__szb", inter.alias("__inter"))
+        .where(F.col("__inter") * 1000 >= t * F.col("__szs"))
+        .select(
+            "d_small",
+            "d_big",
+            F.round(F.col("__inter") / F.col("__szs").cast("double"), 6).alias(
+                "containment"
+            ),
+            F.round(
+                F.col("__inter")
+                / (F.col("__szs") + F.col("__szb") - F.col("__inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = MINHASH_K
 ) -> DataFrame:
