@@ -132,22 +132,28 @@ def q243_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT l_returnflag AS stratum, count(*) AS n,
-               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(l_discount AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(l_discount AS DECIMAL(18,2))
-                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+               sum(CAST(l_discount AS DECIMAL(18,2))) AS sx,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sy,
+               sum(CAST(l_discount AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,2))) AS sxx,
+               sum(CAST(l_discount AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxy
         FROM lineitem GROUP BY l_returnflag
     ),
     strata AS (
         SELECT stratum, CAST(n AS BIGINT) AS n,
-               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS stratum_slope
+               round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS stratum_slope
         FROM s
     ),
     pooled AS (
-        SELECT round((sum(n) * sum(sxy) - sum(sx) * sum(sy))
-                     / (sum(n) * sum(sxx) - sum(sx) * sum(sx)), 6) AS pooled_slope
+        SELECT round((sum(n) * CAST(sum(sxy) AS DOUBLE)
+                      - CAST(sum(sx) AS DOUBLE) * CAST(sum(sy) AS DOUBLE))
+                     / (sum(n) * CAST(sum(sxx) AS DOUBLE)
+                        - CAST(sum(sx) AS DOUBLE) * CAST(sum(sx) AS DOUBLE)), 6)
+                   AS pooled_slope
         FROM s
     )
     SELECT stratum, n, stratum_slope, pooled_slope,
@@ -168,22 +174,26 @@ def q244_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     join in the plan); slopes evaluate once in double per row."""
     li = read_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_discount", "l_quantity"])
     x, y = dec("l_discount"), dec("l_quantity")
+    # power sums stay DECIMAL through BOTH aggregation levels — casting
+    # per-stratum sums to double and re-summing would make the pooled
+    # slope float-accumulation-order dependent
     s = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
     ).persist()
     n = F.col("n")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    d = lambda c: c.cast("double")  # noqa: E731
+    slope = (n * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy"))) / (
+        n * d(F.col("sxx")) - d(F.col("sx")) * d(F.col("sx"))
     )
     strata = s.select("stratum", "n", F.round(slope, 6).alias("stratum_slope"))
     pooled = s.agg(
         F.round(
-            (F.sum("n") * F.sum("sxy") - F.sum("sx") * F.sum("sy"))
-            / (F.sum("n") * F.sum("sxx") - F.sum("sx") * F.sum("sx")),
+            (F.sum("n") * d(F.sum("sxy")) - d(F.sum("sx")) * d(F.sum("sy")))
+            / (F.sum("n") * d(F.sum("sxx")) - d(F.sum("sx")) * d(F.sum("sx"))),
             6,
         ).alias("pooled_slope")
     )

@@ -26,7 +26,8 @@ _MUS_TARGET = 500  # expected sample size
         SELECT l_orderkey * 8 + l_linenumber AS lid, l_returnflag,
                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                    AS val_c,
-               ((l_orderkey * 8 + l_linenumber) * {_MULT}) % {_UNIT} AS h
+               CAST((CAST(l_orderkey * 8 + l_linenumber AS HUGEINT) * {_MULT})
+                    % {_UNIT} AS BIGINT) AS h
         FROM lineitem
     ),
     tot AS (SELECT CAST(sum(val_c) AS BIGINT) AS total_c FROM li),
@@ -51,7 +52,8 @@ def q246_monetary_unit_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     q80's deterministic idiom at value weighting: keep iff
     h·total < target·value·2²⁰ with h a multiplicative hash of the
     unique line id — pure integer arithmetic (HUGEINT/DECIMAL(38) on
-    the cross product so no overflow at any SF), so the SAME lines are
+    the hash multiply AND the cross product, so no overflow at any
+    SF), so the SAME lines are
     selected on rerun, on any partitioning, and in the oracle.  The
     only shuffle is the final per-flag rollup."""
     li = read_table(
@@ -59,10 +61,13 @@ def q246_monetary_unit_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"],
     )
     lid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    # the hash multiply runs in DECIMAL(38,0): lid·_MULT overflows int64
+    # once l_orderkey passes ~3.5e9/8 (SF ≳ 70) — Spark would wrap
+    # silently while the oracle errors, so widen BEFORE multiplying
     rows = li.select(
         "l_returnflag",
         (dec("l_extendedprice") * 100).cast("long").alias("val_c"),
-        ((lid * _MULT) % _UNIT).alias("h"),
+        ((lid.cast("decimal(38,0)") * _MULT) % _UNIT).cast("long").alias("h"),
     )
     tot = rows.agg(F.sum("val_c").alias("total_c"))
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731

@@ -134,8 +134,8 @@ def q250_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT event_type, count(*) AS nh,
-               CAST(sum(c) AS BIGINT) AS sc,
-               CAST(sum(c * c) AS BIGINT) AS scc
+               sum(c) AS sc,
+               sum(c * c) AS scc
         FROM hourly GROUP BY event_type
     )
     SELECT event_type, CAST(nh AS BIGINT) AS n_hours,
@@ -162,10 +162,14 @@ def q251_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
         F.count(F.lit(1)).alias("c")
     )
+    # power sums in DECIMAL(38,0): sc² and nh·Σc² outgrow int64 once an
+    # event type passes ~3e9 rows (the oracle's HUGEINT does this
+    # implicitly; Spark would wrap silently)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nh"),
-        F.sum("c").alias("sc"),
-        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(d38(F.col("c"))).alias("sc"),
+        F.sum(d38(F.col("c")) * F.col("c")).alias("scc"),
     )
     nh, sc, scc = F.col("nh"), F.col("sc"), F.col("scc")
     var_num = nh * scc - sc * sc
