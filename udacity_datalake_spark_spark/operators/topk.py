@@ -44,10 +44,13 @@ def ranked_topk(
     ``rank_col``, identical to
     ``row_number() OVER (ORDER BY ...) <= k`` but planned scalably."""
     limit = _topk_plan_limit(df)
-    if not (0 < k <= limit):
+    # strict <: Catalyst's SpecialLimits rule requires
+    # limit < topKSortFallbackThreshold, so k == threshold would silently
+    # plan the full global sort this operator exists to prevent
+    if not (0 < k < limit):
         raise ValueError(
-            f"k={k} outside (0, {limit}]: TakeOrderedAndProject only plans "
-            "below spark.sql.execution.topKSortFallbackThreshold"
+            f"k={k} outside (0, {limit}): TakeOrderedAndProject only plans "
+            "strictly below spark.sql.execution.topKSortFallbackThreshold"
         )
     top = df.orderBy(*order_by).limit(k)
     w = Window.partitionBy(F.lit(0)).orderBy(*order_by)

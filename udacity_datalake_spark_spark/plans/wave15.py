@@ -111,10 +111,10 @@ def q210_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n1, n2,
            CAST(sum(c1 * (2 * prev_cum + c1 + c2 + 1)) AS BIGINT) AS two_r1,
-           CAST(2 * n1 * n2 + n1 * (n1 + 1)
-                - sum(c1 * (2 * prev_cum + c1 + c2 + 1)) AS BIGINT) AS two_u1,
-           round(CAST(2 * n1 * n2 + n1 * (n1 + 1)
-                      - sum(c1 * (2 * prev_cum + c1 + c2 + 1)) AS DOUBLE)
+           CAST(sum(c1 * (2 * prev_cum + c1 + c2 + 1))
+                - n1 * (n1 + 1) AS BIGINT) AS two_u1,
+           round(CAST(sum(c1 * (2 * prev_cum + c1 + c2 + 1))
+                      - n1 * (n1 + 1) AS DOUBLE)
                  / (2 * n1 * CAST(n2 AS DOUBLE)), 6) AS auc
     FROM ranked CROSS JOIN tot
     GROUP BY n1, n2
@@ -129,8 +129,11 @@ def q211_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties get the textbook average rank, kept EXACT by doubling: a tie
     group starting after prev_cum pooled observations has
     2·avgrank = 2·prev_cum + (c1+c2) + 1, an integer — so the rank sum
-    2R1, and U via 2U1 = 2n1n2 + n1(n1+1) − 2R1, are exact BIGINTs.
-    Same bounded bin frame as q210; one window, one aggregate."""
+    2R1, and U via 2U1 = 2R1 − n1(n1+1), are exact BIGINTs, and
+    AUC = U1/(n1·n2) is P(purchase > click) (+½·ties) as documented —
+    round-2 review caught the first cut emitting 2U2/1−AUC under the
+    U1 labels.  Same bounded bin frame as q210; one window, one
+    aggregate."""
     cells = _two_sample_bins(spark, sf_dir)
     tot = cells.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -144,7 +147,7 @@ def q211_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     two_r1 = F.sum(
         F.col("c1") * (2 * F.col("prev_cum") + F.col("c1") + F.col("c2") + 1)
     )
-    two_u1 = 2 * F.col("n1") * F.col("n2") + F.col("n1") * (F.col("n1") + 1) - two_r1
+    two_u1 = two_r1 - F.col("n1") * (F.col("n1") + 1)
     return (
         ranked.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
@@ -206,6 +209,30 @@ def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.crossJoin(F.broadcast(stats))
         .where(F.col("shared") * F.col("n_pairs") * 10 >= 11 * F.col("total_occ"))
         .select("u", "w")
+    )
+
+
+#: Degree CTE over COSUPPLY_EDGES_SQL's ``edges`` — shared by the
+#: q217/q230/q231/q241 oracles so every graph metric agrees on one
+#: degree definition.
+COSUPPLY_DEG_SQL = """
+    deg AS (
+        SELECT x, count(*) AS d
+        FROM (SELECT u AS x FROM edges UNION ALL SELECT w FROM edges)
+        GROUP BY x
+    )
+"""
+
+
+def cosupply_degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree ``(x, d)`` of an undirected (u < w) edge list —
+    the Spark twin of COSUPPLY_DEG_SQL.  One count over the exploded
+    endpoint list (graph-sized, not fact-sized)."""
+    return (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select("w"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
 
 
@@ -277,14 +304,18 @@ def q212_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     k1 AS (
         SELECT 1 AS lag_hours, count(*) AS n_pairs,
-               sum(x) AS sx, sum(x1) AS sy, sum(x * x) AS sxx,
-               sum(x1 * x1) AS syy, sum(x * x1) AS sxy
+               sum(x) AS sx, sum(x1) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x1 AS HUGEINT) * x1) AS syy,
+               sum(CAST(x AS HUGEINT) * x1) AS sxy
         FROM lagged WHERE x1 IS NOT NULL
     ),
     k24 AS (
         SELECT 24 AS lag_hours, count(*) AS n_pairs,
-               sum(x) AS sx, sum(x24) AS sy, sum(x * x) AS sxx,
-               sum(x24 * x24) AS syy, sum(x * x24) AS sxy
+               sum(x) AS sx, sum(x24) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x24 AS HUGEINT) * x24) AS syy,
+               sum(CAST(x AS HUGEINT) * x24) AS sxy
         FROM lagged WHERE x24 IS NOT NULL
     ),
     u AS (SELECT * FROM k1 UNION ALL SELECT * FROM k24)
@@ -302,12 +333,12 @@ def q213_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonality; lag-1 short-term momentum).
 
     The fact reduces to an hourly series (time-window-bounded, ~720
-    rows per month at any SF) in integer CENTS, so the five power sums
-    are exact int64 accumulations (q128's discipline — Spark's
-    double-based corr is partition-order dependent); cross-terms like
-    sx·sy that outgrow int64 are evaluated in DECIMAL(38,0) and only
-    the final Pearson ratio is double.  One fact aggregate, one bounded
-    window, one 2-row result."""
+    rows per month at any SF) in integer CENTS, and every product or
+    sum that could outgrow int64 — the squared-cent power sums AND the
+    sx·sy cross terms — accumulates in DECIMAL(38,0) (q128's
+    discipline; the oracle mirrors with HUGEINT), so only the final
+    Pearson ratio is double.  One fact aggregate, one bounded window,
+    one 2-row result."""
     e = read_table(spark, sf_dir, "events", columns=["event_type", "ts", "value"])
     hourly = (
         e.where(F.col("event_type") == "purchase")
@@ -325,9 +356,9 @@ def q213_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum("x").alias("sx"),
             F.sum(xl).alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col(xl) * F.col(xl)).alias("syy"),
-            F.sum(F.col("x") * F.col(xl)).alias("sxy"),
+            F.sum(d38(F.col("x")) * F.col("x")).alias("sxx"),
+            F.sum(d38(F.col(xl)) * F.col(xl)).alias("syy"),
+            F.sum(d38(F.col("x")) * F.col(xl)).alias("sxy"),
         )
         n = F.col("n_pairs")
         num = d38(n * F.col("sxy")) - d38(F.col("sx")) * d38(F.col("sy"))

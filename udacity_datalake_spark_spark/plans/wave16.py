@@ -18,7 +18,9 @@ from udacity_datalake_spark_spark.operators.sketches import mg_candidates
 from udacity_datalake_spark_spark.plans.pipeline_ops import _md5_bucket
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.plans.wave15 import (
+    COSUPPLY_DEG_SQL,
     COSUPPLY_EDGES_SQL,
+    cosupply_degrees,
     cosupply_edges,
     triangles,
 )
@@ -236,11 +238,7 @@ def q216_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q217_clustering_coefficient",
     oracle=f"""
     WITH {COSUPPLY_EDGES_SQL},
-    deg AS (
-        SELECT x, count(*) AS d
-        FROM (SELECT u AS x FROM edges UNION ALL SELECT w FROM edges)
-        GROUP BY x
-    ),
+    {COSUPPLY_DEG_SQL},
     wed AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
     tri AS (
         SELECT count(*) AS n_triangles
@@ -263,12 +261,7 @@ def q217_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized, not fact-sized), the wedge sum is exact int64, and the
     triangle side reuses q212's oriented wedge join."""
     edges = cosupply_edges(spark, sf_dir).persist()
-    deg = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select("w"))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = cosupply_degrees(edges)
     wed = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
     )

@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
-from udacity_datalake_spark_spark.plans.wave15 import COSUPPLY_EDGES_SQL, cosupply_edges
+from udacity_datalake_spark_spark.plans.wave15 import (
+    COSUPPLY_DEG_SQL,
+    COSUPPLY_EDGES_SQL,
+    cosupply_degrees,
+    cosupply_edges,
+)
 from udacity_datalake_spark_spark.sources.readers import read_table
 
 
@@ -103,11 +108,7 @@ def q229_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q230_degree_ccdf",
     oracle=f"""
     WITH {COSUPPLY_EDGES_SQL},
-    deg AS (
-        SELECT x, count(*) AS d
-        FROM (SELECT u AS x FROM edges UNION ALL SELECT w FROM edges)
-        GROUP BY x
-    ),
+    {COSUPPLY_DEG_SQL},
     hist AS (SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d),
     tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n FROM hist)
     SELECT degree, n_nodes,
@@ -130,13 +131,10 @@ def q230_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph-sized), the histogram is degree-bounded, and the reverse
     cumulative window runs over that bounded frame (q208's survival-
     curve shape applied to graph structure)."""
-    edges = cosupply_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select("w"))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # persist per cosupply_edges' contract: deg's two endpoint branches
+    # would otherwise recompute the dominant pair-generation join
+    edges = cosupply_edges(spark, sf_dir).persist()
+    deg = cosupply_degrees(edges)
     hist = deg.groupBy(F.col("d").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
@@ -156,11 +154,7 @@ def q230_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q231_powerlaw_tail_fit",
     oracle=f"""
     WITH {COSUPPLY_EDGES_SQL},
-    deg AS (
-        SELECT x, count(*) AS d
-        FROM (SELECT u AS x FROM edges UNION ALL SELECT w FROM edges)
-        GROUP BY x
-    ),
+    {COSUPPLY_DEG_SQL},
     hist AS (SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d),
     pts AS (
         SELECT CAST(round(ln(degree), 6) AS DECIMAL(18,6)) AS lx,
@@ -192,13 +186,10 @@ def q231_powerlaw_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordinate rounds to DECIMAL(18,6) BEFORE the power sums, which
     then accumulate exactly; the OLS closed form evaluates once in
     double, structurally identical to the oracle."""
-    edges = cosupply_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select("w"))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # persist per cosupply_edges' contract: deg's two endpoint branches
+    # would otherwise recompute the dominant pair-generation join
+    edges = cosupply_edges(spark, sf_dir).persist()
+    deg = cosupply_degrees(edges)
     hist = deg.groupBy(F.col("d").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )

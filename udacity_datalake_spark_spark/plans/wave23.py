@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.operators.similarity import cosine_topk
 from udacity_datalake_spark_spark.plans.registry import query
-from udacity_datalake_spark_spark.plans.wave15 import COSUPPLY_EDGES_SQL, cosupply_edges
+from udacity_datalake_spark_spark.plans.wave15 import (
+    COSUPPLY_DEG_SQL,
+    COSUPPLY_EDGES_SQL,
+    cosupply_degrees,
+    cosupply_edges,
+)
 from udacity_datalake_spark_spark.sources.readers import read_table
 
 
@@ -232,11 +237,7 @@ def q240_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q241_degree_assortativity",
     oracle=f"""
     WITH {COSUPPLY_EDGES_SQL},
-    deg AS (
-        SELECT x, count(*) AS d
-        FROM (SELECT u AS x FROM edges UNION ALL SELECT w FROM edges)
-        GROUP BY x
-    ),
+    {COSUPPLY_DEG_SQL},
     both_dirs AS (
         SELECT u AS a, w AS b FROM edges UNION ALL SELECT w, u FROM edges
     ),
@@ -270,12 +271,7 @@ def q241_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions) so the statistic is orientation-free; power sums are
     exact int64 and the correlation evaluates once in double."""
     edges = cosupply_edges(spark, sf_dir).persist()
-    deg = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select("w"))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = cosupply_degrees(edges)
     both = edges.select(F.col("u").alias("a"), F.col("w").alias("b")).unionAll(
         edges.select(F.col("w").alias("a"), F.col("u").alias("b"))
     )
