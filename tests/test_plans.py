@@ -306,6 +306,8 @@ PANDAS_ALLOWLIST = {
     "q193_wav_decode",
     "q194_ppm_decode",
     "q215_heavy_hitter_bigrams",
+    "q261_audio_frame_energy",
+    "q262_image_quadrants",
 }
 
 

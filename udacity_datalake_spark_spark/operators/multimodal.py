@@ -333,3 +333,104 @@ def perceptual_hash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(hashes, PHASH_SCHEMA)
+
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_voiced", T.IntegerType()),
+        T.StructField("peak_frame_energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_len: int = 32,
+    voiced_sum_threshold: int = 32 * 18000,
+) -> DataFrame:
+    """Frame-windowed audio energy from real WAV payloads: split the PCM
+    stream into ``frame_len``-sample frames and report how many are
+    "voiced" (frame Σ|sample| over the threshold) plus the loudest
+    frame — the voice-activity-detection shape every speech curation
+    pipeline runs before transcription.
+
+    Same contract as decode_media: bytes parse inside one Arrow-batched
+    stage (stdlib wave + one numpy reshape per file), only integer
+    frame statistics reach the plan, payloads never shuffle.  All
+    outputs are exact integers, so the full encode→frame→stats path is
+    oracle-checkable (q261)."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_frames", "n_voiced", "peak_frame_energy")}
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                with wavmod.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    nfr = w.getnframes()
+                    samples = np.frombuffer(w.readframes(nfr), dtype="<i2").astype(np.int64)
+                n_full = len(samples) // frame_len
+                fr = np.abs(samples[: n_full * frame_len]).reshape(n_full, frame_len)
+                sums = fr.sum(axis=1)
+                rows["doc_id"].append(rid)
+                rows["n_frames"].append(int(n_full))
+                rows["n_voiced"].append(int((sums > voiced_sum_threshold).sum()))
+                rows["peak_frame_energy"].append(int(sums.max()) if n_full else 0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(frames, FRAME_ENERGY_SCHEMA)
+
+
+QUADRANT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("luma_tl", T.LongType()),
+        T.StructField("luma_tr", T.LongType()),
+        T.StructField("luma_bl", T.LongType()),
+        T.StructField("luma_br", T.LongType()),
+    ]
+)
+
+
+def image_quadrant_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-quadrant luminance (Σ r+g+b) of real P6 PPM payloads — the
+    tiled feature extraction (brightness maps, thumbnail scoring,
+    letterbox detection) expressed as the same parse-in-pandas /
+    integers-out contract as decode_media.  Quadrants split at
+    width//2 / height//2; exact integer sums → oracle-checkable
+    (q262)."""
+    import numpy as np
+
+    def quads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in ("doc_id", "width", "height", "luma_tl", "luma_tr", "luma_bl", "luma_br")
+            }
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                magic, dims, maxval_and_body = data.split(b"\n", 2)
+                if magic != b"P6":
+                    raise ValueError(f"not a P6 PPM payload: {magic!r}")
+                w, h = (int(x) for x in dims.split())
+                body = maxval_and_body.split(b"\n", 1)[1]
+                px = np.frombuffer(body, dtype=np.uint8).astype(np.int64).reshape(h, w, 3)
+                luma = px.sum(axis=2)
+                wx, hy = w // 2, h // 2
+                rows["doc_id"].append(rid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["luma_tl"].append(int(luma[:hy, :wx].sum()))
+                rows["luma_tr"].append(int(luma[:hy, wx:].sum()))
+                rows["luma_bl"].append(int(luma[hy:, :wx].sum()))
+                rows["luma_br"].append(int(luma[hy:, wx:].sum()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(quads, QUADRANT_SCHEMA)
