@@ -369,3 +369,30 @@ def test_pagerank_fixed_point_star_graph(spark):
     out = pagerank_fixed_point(nulls)
     assert out.count() == 0
     assert dict(out.dtypes) == {"node": "string", "rank_ppb": "bigint"}
+
+
+def test_global_running_max_equals_window(spark, sf_dir):
+    """Two-phase bucketed prefix max must equal the single-partition
+    running-max window exactly."""
+    from pyspark.sql import Window
+
+    from udacity_datalake_spark_spark.operators.topk import global_running_max
+    from udacity_datalake_spark_spark.sources.readers import read_table
+
+    e = (
+        read_table(spark, sf_dir, "events", columns=["event_id", "ts"])
+        .select("event_id", F.unix_micros("ts").alias("v"))
+        .withColumn("__k", F.col("event_id").cast("double"))
+    )
+    got = {
+        r.event_id: r.running_max
+        for r in global_running_max(
+            e, [F.col("event_id")], "__k", "v", n_buckets=7
+        ).collect()
+    }
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r.event_id: r.running_max
+        for r in e.withColumn("running_max", F.max("v").over(w)).collect()
+    }
+    assert got == want

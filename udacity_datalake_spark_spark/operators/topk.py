@@ -132,6 +132,44 @@ def global_running_sum(
     )
 
 
+def global_running_max(
+    df: DataFrame,
+    order_by: list[Column],
+    bucket_col: str,
+    value_col: str,
+    out_col: str = "running_max",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global inclusive ``max(value) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` without a single-partition sort — the prefix-max twin
+    of ``global_running_sum`` (watermark simulation, record-high
+    tracking, monotone envelope fitting).
+
+    Identical two-phase shape: quantile buckets of the leading sort
+    key, a per-bucket running max, and each bucket combined with the
+    max of all EARLIER buckets via a window over the n_buckets-row
+    bucket-maxima frame.  Max is associative and insensitive to
+    rounding, so the result is exactly the single-partition window's
+    for any value type."""
+    bucketed = _assign_buckets(df, bucket_col, False, n_buckets)
+    bmax = bucketed.groupBy("__bucket").agg(F.max(value_col).alias("__bmax"))
+    woff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bmax.select(
+        "__bucket", F.max("__bmax").over(woff).alias("__prior_max")
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = F.max(value_col).over(w)
+    return (
+        bucketed.join(F.broadcast(offs), "__bucket")
+        .withColumn(out_col, F.greatest(local, F.coalesce(F.col("__prior_max"), local)))
+        .drop("__bucket", "__prior_max")
+    )
+
+
 def _bucketed_ranking(
     df: DataFrame,
     order_by: list[Column],
