@@ -22,10 +22,11 @@ from udacity_datalake_spark_spark.plans.wave15 import (
 from udacity_datalake_spark_spark.sources.readers import read_table
 
 
-@query(
-    "q229_item_neighbors",
-    oracle="""
-    WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+#: Shared CTE chain: the co-purchase recommender pipeline up to the
+#: per-anchor neighbor ranking.  Used by q229 and the eval queries
+#: q265/q270 so every metric scores the SAME recommender.
+COPURCHASE_RANKED_SQL = """
+    b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
     pop AS (SELECT pk, count(*) AS c FROM b GROUP BY pk),
     top20 AS (
         SELECT pk, c FROM pop ORDER BY c DESC, pk LIMIT 20
@@ -49,24 +50,15 @@ from udacity_datalake_spark_spark.sources.readers import read_table
                                   ORDER BY cosine DESC, neighbor) AS rank
         FROM sims
     )
-    SELECT pk, CAST(rank AS BIGINT) AS rank, neighbor,
-           CAST(c_ij AS BIGINT) AS n_co_orders, cosine
-    FROM ranked WHERE rank <= 5
-    """,
-)
-def q229_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Item-item collaborative filtering: for the 20 most-ordered parts,
-    their top-5 co-purchase neighbors by cosine over order baskets
-    (c_ij/√(c_i·c_j)) — the "customers also bought" table.
+"""
 
-    Scale shape: baskets reduce to DISTINCT (order, part) first, so the
-    pair join blows up only within an order's basket (never parts²);
-    the anchor set is a ranked_topk-bounded 20 parts, restricting pair
-    generation with a semi-join BEFORE the co-count aggregate; neighbor
-    ranking windows are PARTITIONED by anchor part (≤ candidate
-    neighbors per anchor, never global).  Cosines are identical doubles
-    on both engines (IEEE sqrt of exact counts) rounded once, with the
-    neighbor id as total-order tie-break."""
+
+def copurchase_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked co-purchase neighbors (pk, neighbor, c_ij, cosine, rank)
+    for the 20 most-ordered anchor parts — the Spark twin of
+    COPURCHASE_RANKED_SQL.  Scale shape per q229's docstring: basket-
+    bounded pair join, ranked_topk-bounded anchors, per-anchor ranking
+    windows."""
     b = (
         read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
@@ -74,9 +66,7 @@ def q229_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pop = b.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
     top20 = ranked_topk(pop, [F.col("c").desc(), F.col("pk")], 20).drop("rn")
-    anchors = b.join(
-        F.broadcast(top20.select("pk")), "pk", "left_semi"
-    ).select("okey", "pk")
+    anchors = b.join(F.broadcast(top20.select("pk")), "pk", "left_semi")
     co = (
         anchors.join(b.select("okey", F.col("pk").alias("neighbor")), "okey")
         .where(F.col("pk") != F.col("neighbor"))
@@ -96,8 +86,33 @@ def q229_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("pk").orderBy(F.col("cosine").desc(), F.col("neighbor"))
+    return sims.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "q229_item_neighbors",
+    oracle=f"""
+    WITH {COPURCHASE_RANKED_SQL}
+    SELECT pk, CAST(rank AS BIGINT) AS rank, neighbor,
+           CAST(c_ij AS BIGINT) AS n_co_orders, cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q229_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for the 20 most-ordered parts,
+    their top-5 co-purchase neighbors by cosine over order baskets
+    (c_ij/√(c_i·c_j)) — the "customers also bought" table.
+
+    Scale shape: baskets reduce to DISTINCT (order, part) first, so the
+    pair join blows up only within an order's basket (never parts²);
+    the anchor set is a ranked_topk-bounded 20 parts, restricting pair
+    generation with a semi-join BEFORE the co-count aggregate; neighbor
+    ranking windows are PARTITIONED by anchor part (≤ candidate
+    neighbors per anchor, never global).  Cosines are identical doubles
+    on both engines (IEEE sqrt of exact counts) rounded once, with the
+    neighbor id as total-order tie-break."""
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        copurchase_ranked(spark, sf_dir)
         .where(F.col("rank") <= 5)
         .select("pk", F.col("rank").cast("long").alias("rank"), "neighbor",
                 F.col("c_ij").alias("n_co_orders"), "cosine")

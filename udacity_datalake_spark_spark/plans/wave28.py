@@ -31,7 +31,7 @@ from udacity_datalake_spark_spark.sources.readers import read_table
     ),
     tot AS (
         SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb,
-               CAST(sum(ya + yb) AS BIGINT) AS n0, count(*) AS v
+               CAST(sum(ya + yb) AS BIGINT) AS n0
         FROM c
     ),
     scored AS (
@@ -73,7 +73,6 @@ def q257_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ya").alias("na"),
         F.sum("yb").alias("nb"),
         F.sum(F.col("ya") + F.col("yb")).alias("n0"),
-        F.count(F.lit(1)).alias("v"),
     )
     ya, yb, na, nb, n0 = (
         F.col("ya"), F.col("yb"), F.col("na"), F.col("nb"), F.col("n0"),

@@ -11,8 +11,11 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.functions.numeric import dec
 from udacity_datalake_spark_spark.operators.dedup import ngram_jaccard_pairs
-from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.plans.wave20 import (
+    COPURCHASE_RANKED_SQL,
+    copurchase_ranked,
+)
 from udacity_datalake_spark_spark.sources.readers import read_table
 
 
@@ -122,27 +125,8 @@ def q264_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q265_ranking_ndcg",
-    oracle="""
-    WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
-    pop AS (SELECT pk, count(*) AS c FROM b GROUP BY pk),
-    top20 AS (SELECT pk, c FROM pop ORDER BY c DESC, pk LIMIT 20),
-    co AS (
-        SELECT a.pk AS pk, x.pk AS neighbor, count(*) AS c_ij
-        FROM b a JOIN b x ON a.okey = x.okey AND a.pk <> x.pk
-        WHERE a.pk IN (SELECT pk FROM top20)
-        GROUP BY 1, 2
-    ),
-    sims AS (
-        SELECT co.pk, neighbor, c_ij,
-               round(c_ij / sqrt(t.c * CAST(p.c AS DOUBLE)), 6) AS cosine
-        FROM co JOIN top20 t ON co.pk = t.pk JOIN pop p ON co.neighbor = p.pk
-    ),
-    ranked AS (
-        SELECT pk, neighbor,
-               row_number() OVER (PARTITION BY pk
-                                  ORDER BY cosine DESC, neighbor) AS rank
-        FROM sims
-    ),
+    oracle=f"""
+    WITH {COPURCHASE_RANKED_SQL},
     rel AS (
         SELECT r.pk, r.rank,
                CASE WHEN pa.p_type = pn.p_type THEN 1 ELSE 0 END AS is_rel
@@ -180,34 +164,8 @@ def q265_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q150 — anchor-count sums of doubles are order-dependent), and the
     ideal DCG for binary-relevance @5 is the constant Σ1/log₂(i+1) ≈
     2.948459, spelled identically in both engines."""
-    b = (
-        read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
     p = read_table(spark, sf_dir, "part", columns=["p_partkey", "p_type"])
-    pop = b.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
-    top20 = ranked_topk(pop, [F.col("c").desc(), F.col("pk")], 20).drop("rn")
-    anchors = b.join(F.broadcast(top20.select("pk")), "pk", "left_semi")
-    co = (
-        anchors.join(b.select("okey", F.col("pk").alias("neighbor")), "okey")
-        .where(F.col("pk") != F.col("neighbor"))
-        .groupBy("pk", "neighbor")
-        .agg(F.count(F.lit(1)).alias("c_ij"))
-    )
-    sims = (
-        co.join(F.broadcast(top20.select("pk", F.col("c").alias("c_a"))), "pk")
-        .join(pop.select(F.col("pk").alias("neighbor"), F.col("c").alias("c_n")), "neighbor")
-        .select(
-            "pk",
-            "neighbor",
-            F.round(
-                F.col("c_ij") / F.sqrt(F.col("c_a") * F.col("c_n").cast("double")), 6
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("pk").orderBy(F.col("cosine").desc(), F.col("neighbor"))
-    ranked = sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    ranked = copurchase_ranked(spark, sf_dir).where(F.col("rank") <= 5)
     rel = (
         ranked.join(
             F.broadcast(p.select(F.col("p_partkey").alias("pk"), F.col("p_type").alias("ta"))),
@@ -287,7 +245,7 @@ def q266_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer floor division (10·inter) div union — no float boundary
     can misfile a pair — and the cumulative window runs over ≤6 decile
     rows."""
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
     # recover exact integer components: jaccard = inter/union exactly, so
     # bucket from the rounded double would risk boundary misfiles — use

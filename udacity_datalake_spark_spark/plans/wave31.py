@@ -9,8 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.plans.wave20 import (
+    COPURCHASE_RANKED_SQL,
+    copurchase_ranked,
+)
 from udacity_datalake_spark_spark.sources.readers import read_table
 
 _Z95 = 1.959963984540054
@@ -213,28 +216,10 @@ def q269_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q270_rec_coverage",
-    oracle="""
-    WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
-    pop AS (SELECT pk, count(*) AS c FROM b GROUP BY pk),
-    top20 AS (SELECT pk, c FROM pop ORDER BY c DESC, pk LIMIT 20),
-    co AS (
-        SELECT a.pk AS pk, x.pk AS neighbor, count(*) AS c_ij
-        FROM b a JOIN b x ON a.okey = x.okey AND a.pk <> x.pk
-        WHERE a.pk IN (SELECT pk FROM top20)
-        GROUP BY 1, 2
-    ),
-    sims AS (
-        SELECT co.pk, neighbor,
-               round(c_ij / sqrt(t.c * CAST(p.c AS DOUBLE)), 6) AS cosine
-        FROM co JOIN top20 t ON co.pk = t.pk JOIN pop p ON co.neighbor = p.pk
-    ),
+    oracle=f"""
+    WITH {COPURCHASE_RANKED_SQL},
     shown AS (
-        SELECT neighbor FROM (
-            SELECT pk, neighbor,
-                   row_number() OVER (PARTITION BY pk
-                                      ORDER BY cosine DESC, neighbor) AS rank
-            FROM sims
-        ) WHERE rank <= 5
+        SELECT neighbor FROM ranked WHERE rank <= 5
     ),
     np AS (SELECT count(*) AS n_parts FROM part)
     SELECT CAST(count(*) AS BIGINT) AS n_slots,
@@ -256,34 +241,8 @@ def q270_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reuses the q229 pipeline to the ranked slots, then two tiny
     aggregates (distinct shown items, catalog total)."""
-    b = (
-        read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    pop = b.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
-    top20 = ranked_topk(pop, [F.col("c").desc(), F.col("pk")], 20).drop("rn")
-    anchors = b.join(F.broadcast(top20.select("pk")), "pk", "left_semi")
-    co = (
-        anchors.join(b.select("okey", F.col("pk").alias("neighbor")), "okey")
-        .where(F.col("pk") != F.col("neighbor"))
-        .groupBy("pk", "neighbor")
-        .agg(F.count(F.lit(1)).alias("c_ij"))
-    )
-    sims = (
-        co.join(F.broadcast(top20.select("pk", F.col("c").alias("c_a"))), "pk")
-        .join(pop.select(F.col("pk").alias("neighbor"), F.col("c").alias("c_n")), "neighbor")
-        .select(
-            "pk",
-            "neighbor",
-            F.round(
-                F.col("c_ij") / F.sqrt(F.col("c_a") * F.col("c_n").cast("double")), 6
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("pk").orderBy(F.col("cosine").desc(), F.col("neighbor"))
     shown = (
-        sims.withColumn("rank", F.row_number().over(w))
+        copurchase_ranked(spark, sf_dir)
         .where(F.col("rank") <= 5)
         .select("neighbor")
     )
