@@ -77,6 +77,12 @@ HEADLINE = [
     "q222_abc_xyz_classification",
     "q227_token_budget_selection",
     "q229_item_neighbors",
+    # waves 21-33: containment dedup, value-proportional sampling,
+    # multimodal frame features, prefix-max lateness audit
+    "q232_shingle_containment",
+    "q246_monetary_unit_sampling",
+    "q261_audio_frame_energy",
+    "q271_late_event_rate",
     # q155 (sparse cosine) is deliberately NOT a headline query: on the
     # synthetic corpus's ~30-term vocabulary every doc shares its "top"
     # terms with most others, so the qualifying-pair OUTPUT itself is
