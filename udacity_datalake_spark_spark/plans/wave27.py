@@ -273,6 +273,9 @@ def q256_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size(split(text, ' ')) AS BIGINT)"
         ).alias("score"),
     )
+    # persist: global_running_sum's quantile/count/window passes would
+    # otherwise re-tokenize the corpus 3×
+    scored = scored.persist()
     tot = scored.agg(F.sum("tk").alias("total_tk"))
     keyed = scored.withColumn("__sd", F.col("score").cast("double"))
     run = global_running_sum(
