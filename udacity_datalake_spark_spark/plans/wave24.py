@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.functions.numeric import dec
+from udacity_datalake_spark_spark.functions.stats import wilson_bounds, wilson_sql
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
@@ -32,14 +33,8 @@ _Z95 = 1.959963984540054  # two-sided 95% normal quantile, fixed constant
     )
     SELECT n, k,
            round(k / CAST(n AS DOUBLE), 6) AS p_hat,
-           round((k / CAST(n AS DOUBLE) + {_Z95} * {_Z95} / (2 * n)
-                  - {_Z95} * sqrt(k / CAST(n AS DOUBLE) * (1 - k / CAST(n AS DOUBLE)) / n
-                                  + {_Z95} * {_Z95} / (4.0 * n * n)))
-                 / (1 + {_Z95} * {_Z95} / n), 6) AS wilson_lo,
-           round((k / CAST(n AS DOUBLE) + {_Z95} * {_Z95} / (2 * n)
-                  + {_Z95} * sqrt(k / CAST(n AS DOUBLE) * (1 - k / CAST(n AS DOUBLE)) / n
-                                  + {_Z95} * {_Z95} / (4.0 * n * n)))
-                 / (1 + {_Z95} * {_Z95} / n), 6) AS wilson_hi
+           round({wilson_sql('k', 'n', '-')}, 6) AS wilson_lo,
+           round({wilson_sql('k', 'n', '+')}, 6) AS wilson_hi
     FROM m
     """,
 )
@@ -60,17 +55,13 @@ def q242_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = s.agg(F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k"))
     n, k = F.col("n"), F.col("k")
-    z = F.lit(_Z95)
-    p = k / n.cast("double")
-    half = z * F.sqrt(p * (1 - p) / n + z * z / (F.lit(4.0) * n * n))
-    center = p + z * z / (2 * n)
-    denom = 1 + z * z / n
+    lo, hi = wilson_bounds(k, n)
     return m.select(
         "n",
         "k",
-        F.round(p, 6).alias("p_hat"),
-        F.round((center - half) / denom, 6).alias("wilson_lo"),
-        F.round((center + half) / denom, 6).alias("wilson_hi"),
+        F.round(k / n.cast("double"), 6).alias("p_hat"),
+        F.round(lo, 6).alias("wilson_lo"),
+        F.round(hi, 6).alias("wilson_hi"),
     )
 
 

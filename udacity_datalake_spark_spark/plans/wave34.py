@@ -10,11 +10,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.functions.numeric import dec
+from udacity_datalake_spark_spark.functions.stats import wilson_bounds, wilson_sql
 from udacity_datalake_spark_spark.operators.topk import global_ntile, ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
-_Z95 = 1.959963984540054
+
+#: Exact integer-cent realized unit price (price·100·100 div qty·100) —
+#: the quantization q276 audits and q288's elasticity regresses on.
+#: Spark and DuckDB spellings kept together so they can't drift.
+UNIT_PRICE_CENTS_EXPR = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100 "
+    "div CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+)
+UNIT_PRICE_CENTS_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100 "
+    "// CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+)
 
 
 @query(
@@ -29,16 +41,8 @@ _Z95 = 1.959963984540054
     )
     SELECT p_type, n, k,
            round(k / CAST(n AS DOUBLE), 6) AS return_rate,
-           round((k / CAST(n AS DOUBLE) + {_Z95} * {_Z95} / (2 * n)
-                  - {_Z95} * sqrt(k / CAST(n AS DOUBLE)
-                                  * (1 - k / CAST(n AS DOUBLE)) / n
-                                  + {_Z95} * {_Z95} / (4.0 * n * n)))
-                 / (1 + {_Z95} * {_Z95} / n), 6) AS wilson_lo,
-           round((k / CAST(n AS DOUBLE) + {_Z95} * {_Z95} / (2 * n)
-                  + {_Z95} * sqrt(k / CAST(n AS DOUBLE)
-                                  * (1 - k / CAST(n AS DOUBLE)) / n
-                                  + {_Z95} * {_Z95} / (4.0 * n * n)))
-                 / (1 + {_Z95} * {_Z95} / n), 6) AS wilson_hi
+           round({wilson_sql('k', 'n', '-')}, 6) AS wilson_lo,
+           round({wilson_sql('k', 'n', '+')}, 6) AS wilson_hi
     FROM c
     """,
 )
@@ -61,29 +65,22 @@ def q275_return_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n, k = F.col("n"), F.col("k")
-    z = F.lit(_Z95)
-    prob = k / n.cast("double")
-    half = z * F.sqrt(prob * (1 - prob) / n + z * z / (F.lit(4.0) * n * n))
-    center = prob + z * z / (2 * n)
-    denom = 1 + z * z / n
+    lo, hi = wilson_bounds(k, n)
     return c.select(
         "p_type",
         "n",
         "k",
-        F.round(prob, 6).alias("return_rate"),
-        F.round((center - half) / denom, 6).alias("wilson_lo"),
-        F.round((center + half) / denom, 6).alias("wilson_hi"),
+        F.round(k / n.cast("double"), 6).alias("return_rate"),
+        F.round(lo, 6).alias("wilson_lo"),
+        F.round(hi, 6).alias("wilson_hi"),
     )
 
 
 @query(
     "q276_price_dispersion",
-    oracle="""
+    oracle=f"""
     WITH unit AS (
-        SELECT l_partkey AS pk,
-               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                   * 100 // CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
-                   AS up_c
+        SELECT l_partkey AS pk, {UNIT_PRICE_CENTS_SQL} AS up_c
         FROM lineitem
     ),
     s AS (
@@ -118,10 +115,7 @@ def q276_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(
         spark, sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_quantity"]
     )
-    up_c = F.expr(
-        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100 "
-        "div CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
-    )
+    up_c = F.expr(UNIT_PRICE_CENTS_EXPR)
     s = (
         li.select(F.col("l_partkey").alias("pk"), up_c.alias("up_c"))
         .groupBy("pk")

@@ -14,26 +14,53 @@ from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
 
-@query(
-    "q279_cohort_ltv_curve",
-    oracle="""
-    WITH pm AS (
+#: Shared CTE chain: monthly-cohort revenue cube — (cohort, age, rev)
+#: cells plus cohort sizes.  Used by q279's LTV curves and wave38's
+#: q286 payback so both read the SAME cohorting.
+COHORT_CELLS_SQL = """
+    pm AS (
         SELECT o_custkey AS ck, date_trunc('month', o_orderdate) AS month,
                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         FROM orders GROUP BY 1, 2
     ),
     fs AS (SELECT ck, min(month) AS cohort FROM pm GROUP BY ck),
     sizes AS (SELECT cohort, count(*) AS cohort_users FROM fs GROUP BY cohort),
-    aged AS (
-        SELECT fs.cohort,
-               date_diff('month', fs.cohort, pm.month) AS age_months,
-               pm.rev
-        FROM pm JOIN fs USING (ck)
-    ),
     cell AS (
-        SELECT cohort, age_months, sum(rev) AS rev
-        FROM aged GROUP BY 1, 2
+        SELECT fs.cohort, date_diff('month', fs.cohort, pm.month) AS age_months,
+               sum(rev) AS rev
+        FROM pm JOIN fs USING (ck) GROUP BY 1, 2
     )
+"""
+
+
+def cohort_cells(spark: SparkSession, sf_dir: str):
+    """(cells, sizes): the Spark twin of COHORT_CELLS_SQL — cells at
+    (cohort, age_months, rev DECIMAL) grain, sizes at cohort grain."""
+    o = read_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    pm = o.groupBy(
+        F.col("o_custkey").alias("ck"),
+        F.date_trunc("month", "o_orderdate").alias("month"),
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    fs = pm.groupBy("ck").agg(F.min("month").alias("cohort"))
+    sizes = fs.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    cells = (
+        pm.join(fs, "ck")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("month") - F.year("cohort")) * 12
+                + (F.month("month") - F.month("cohort"))
+            ).cast("long").alias("age_months"),
+        )
+        .agg(F.sum("rev").alias("rev"))
+    )
+    return cells, sizes
+
+
+@query(
+    "q279_cohort_ltv_curve",
+    oracle=f"""
+    WITH {COHORT_CELLS_SQL}
     SELECT cell.cohort, CAST(age_months AS BIGINT) AS age_months,
            CAST(cohort_users AS BIGINT) AS cohort_users,
            round(CAST(sum(rev) OVER (PARTITION BY cell.cohort ORDER BY age_months
@@ -52,22 +79,7 @@ def q279_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-dimension min; the cumulative window is PARTITIONED per
     cohort over the age axis (calendar-bounded ≤ #months rows) with
     DECIMAL-exact revenue and one double division per cell."""
-    o = read_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
-    pm = o.groupBy(
-        F.col("o_custkey").alias("ck"),
-        F.date_trunc("month", "o_orderdate").alias("month"),
-    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
-    fs = pm.groupBy("ck").agg(F.min("month").alias("cohort"))
-    sizes = fs.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
-    aged = pm.join(fs, "ck").select(
-        "cohort",
-        (
-            (F.year("month") - F.year("cohort")) * 12
-            + (F.month("month") - F.month("cohort"))
-        ).cast("long").alias("age_months"),
-        "rev",
-    )
-    cell = aged.groupBy("cohort", "age_months").agg(F.sum("rev").alias("rev"))
+    cell, sizes = cohort_cells(spark, sf_dir)
     w = (
         Window.partitionBy("cohort")
         .orderBy("age_months")

@@ -8,11 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from udacity_datalake_spark_spark.functions.stats import wilson_bounds, wilson_sql
 from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
 
-_Z95 = 1.959963984540054
 
 
 @query(
@@ -28,11 +28,7 @@ _Z95 = 1.959963984540054
     ),
     scored AS (
         SELECT sk, n, k,
-               round((k / CAST(n AS DOUBLE) + {_Z95} * {_Z95} / (2 * n)
-                      - {_Z95} * sqrt(k / CAST(n AS DOUBLE)
-                                      * (1 - k / CAST(n AS DOUBLE)) / n
-                                      + {_Z95} * {_Z95} / (4.0 * n * n)))
-                     / (1 + {_Z95} * {_Z95} / n), 6) AS late_rate_lo
+               round({wilson_sql('k', 'n', '-')}, 6) AS late_rate_lo
         FROM s
     ),
     ranked AS (
@@ -72,11 +68,8 @@ def q281_reliability_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n, k = F.col("n"), F.col("k")
-    z = F.lit(_Z95)
-    prob = k / n.cast("double")
-    half = z * F.sqrt(prob * (1 - prob) / n + z * z / (F.lit(4.0) * n * n))
-    lo = F.round((prob + z * z / (2 * n) - half) / (1 + z * z / n), 6)
-    scored = s.withColumn("late_rate_lo", lo)
+    lo_raw, _hi = wilson_bounds(k, n)
+    scored = s.withColumn("late_rate_lo", F.round(lo_raw, 6))
     top = ranked_topk(
         scored, [F.col("late_rate_lo").desc(), F.col("sk")], 15
     )
@@ -85,7 +78,7 @@ def q281_reliability_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("long").alias("rn"),
         F.col("n").alias("n_lines"),
         F.col("k").alias("n_late"),
-        F.round(prob, 6).alias("late_rate"),
+        F.round(F.col("k") / F.col("n").cast("double"), 6).alias("late_rate"),
         "late_rate_lo",
     )
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.functions.numeric import dec
 from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.plans.wave35 import COHORT_CELLS_SQL, cohort_cells
 from udacity_datalake_spark_spark.sources.readers import read_table
 
 
@@ -100,29 +101,19 @@ def q285_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q286_payback_period",
-    oracle="""
-    WITH pm AS (
-        SELECT o_custkey AS ck, date_trunc('month', o_orderdate) AS month,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-        FROM orders GROUP BY 1, 2
-    ),
-    fs AS (SELECT ck, min(month) AS cohort FROM pm GROUP BY ck),
-    sizes AS (SELECT cohort, count(*) AS cu FROM fs GROUP BY cohort),
-    cell AS (
-        SELECT fs.cohort, date_diff('month', fs.cohort, pm.month) AS age,
-               sum(rev) AS rev
-        FROM pm JOIN fs USING (ck) GROUP BY 1, 2
-    ),
+    oracle=f"""
+    WITH {COHORT_CELLS_SQL},
     cum AS (
-        SELECT cell.cohort, age, cu,
-               CAST(sum(rev * 100) OVER (PARTITION BY cell.cohort ORDER BY age
+        SELECT cell.cohort, age_months, cohort_users,
+               CAST(sum(rev * 100) OVER (PARTITION BY cell.cohort
+                                         ORDER BY age_months
                                          ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0))
                    AS cum_c
         FROM cell JOIN sizes ON cell.cohort = sizes.cohort
     )
-    SELECT cohort, CAST(max(cu) AS BIGINT) AS cohort_users,
-           CAST(min(CASE WHEN cum_c >= CAST(cu AS DECIMAL(24,0))
-                                       * 15000000 THEN age END)
+    SELECT cohort, CAST(max(cohort_users) AS BIGINT) AS cohort_users,
+           CAST(min(CASE WHEN cum_c >= CAST(cohort_users AS DECIMAL(24,0))
+                                       * 15000000 THEN age_months END)
                 AS BIGINT) AS payback_age_months
     FROM cum GROUP BY cohort
     """,
@@ -137,39 +128,22 @@ def q286_payback_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL(38,0) prefix sums) against cohort_users · CAC-in-cents —
     no per-user division, no float LTV, so the reported month can't
     flip on rounding."""
-    o = read_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
-    pm = o.groupBy(
-        F.col("o_custkey").alias("ck"),
-        F.date_trunc("month", "o_orderdate").alias("month"),
-    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
-    fs = pm.groupBy("ck").agg(F.min("month").alias("cohort"))
-    sizes = fs.groupBy("cohort").agg(F.count(F.lit(1)).alias("cu"))
-    cell = (
-        pm.join(fs, "ck")
-        .groupBy(
-            "cohort",
-            (
-                (F.year("month") - F.year("cohort")) * 12
-                + (F.month("month") - F.month("cohort"))
-            ).cast("long").alias("age"),
-        )
-        .agg(F.sum("rev").alias("rev"))
-    )
+    cell, sizes = cohort_cells(spark, sf_dir)
     w = (
         Window.partitionBy("cohort")
-        .orderBy("age")
+        .orderBy("age_months")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = cell.join(F.broadcast(sizes), "cohort").select(
         "cohort",
-        "age",
-        "cu",
+        "age_months",
+        "cohort_users",
         F.sum((F.col("rev") * 100)).over(w).cast("decimal(38,0)").alias("cum_c"),
     )
-    paid = F.col("cum_c") >= F.col("cu").cast("decimal(24,0)") * 15000000
+    paid = F.col("cum_c") >= F.col("cohort_users").cast("decimal(24,0)") * 15000000
     return cum.groupBy("cohort").agg(
-        F.max("cu").alias("cohort_users"),
-        F.min(F.when(paid, F.col("age"))).alias("payback_age_months"),
+        F.max("cohort_users").alias("cohort_users"),
+        F.min(F.when(paid, F.col("age_months"))).alias("payback_age_months"),
     )
 
 

@@ -11,20 +11,22 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.functions.numeric import dec
 from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.plans.wave34 import (
+    UNIT_PRICE_CENTS_EXPR,
+    UNIT_PRICE_CENTS_SQL,
+)
 from udacity_datalake_spark_spark.sources.readers import read_table
 
 
 @query(
     "q288_price_elasticity",
-    oracle="""
+    oracle=f"""
     WITH li AS (
         SELECT p_type,
                CAST(round(ln(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
                                   AS BIGINT)), 6) AS DECIMAL(18,6)) AS lq,
-               CAST(round(ln(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                                  AS BIGINT) * 100
-                             // CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
-                                     AS BIGINT)), 6) AS DECIMAL(18,6)) AS lp
+               CAST(round(ln({UNIT_PRICE_CENTS_SQL}), 6)
+                    AS DECIMAL(18,6)) AS lp
         FROM lineitem JOIN part ON l_partkey = p_partkey
     ),
     s AS (
@@ -55,10 +57,7 @@ def q288_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = read_table(spark, sf_dir, "part", columns=["p_partkey", "p_type"])
     qty_c = F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
-    up_c = F.expr(
-        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100 "
-        "div CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
-    )
+    up_c = F.expr(UNIT_PRICE_CENTS_EXPR)
     rows = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
         "p_type",
         F.round(F.log(qty_c), 6).cast("decimal(18,6)").alias("lq"),

@@ -5,7 +5,7 @@ behavioral predictability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
@@ -163,8 +163,6 @@ def q293_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds to DECIMAL(28,8) before the exact per-state sum (q130's
     log discipline)."""
     e = read_table(spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type", F.lead("event_type").over(w).alias("nxt")
