@@ -256,3 +256,46 @@ def test_mg_candidates_superset_property(spark, values, width):
     n = len(values)
     must_have = {v for v, c in Counter(values).items() if c > n / (width + 1)}
     assert must_have <= got, (must_have, got)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=3, max_size=8).map(" ".join),
+        min_size=0, max_size=6,
+    ),
+)
+@SETTINGS
+def test_shingle_containment_pairs_property(spark, docs):
+    """The prefix-filtered containment operator must equal the brute-force
+    definition: C(small→big) = |S∩B|/|S| ≥ 0.9 with (size, id)
+    orientation, over random tiny corpora with heavy shingle overlap."""
+    from udacity_datalake_spark_spark.operators.dedup import shingle_containment_pairs
+
+    if not docs:
+        return
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.d_small, r.d_big)
+        for r in shingle_containment_pairs(
+            df, "doc_id", "text", n=3, threshold_permille=900
+        ).collect()
+    }
+
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh(t) for i, t in rows if len(t.split(" ")) >= 3}
+    want = set()
+    for i, si in sets.items():
+        for j, sj in sets.items():
+            if i == j:
+                continue
+            small, big = (i, j) if (len(si), i) < (len(sj), j) else (j, i)
+            if small != i:
+                continue  # count each unordered pair once, from the small side
+            inter = len(si & sj)
+            if inter * 1000 >= 900 * len(si):
+                want.add((small, big))
+    assert got == want, (got, want)
