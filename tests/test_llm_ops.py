@@ -181,6 +181,27 @@ def test_perceptual_hash_pairs_identical_payloads(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_audio_frame_energy_rejects_non_mono16(spark):
+    """A stereo or 8-bit WAV payload must fail loudly (ValueError),
+    never silently mis-frame — round-2 advice item."""
+    import io
+    import wave as wavmod
+
+    import pytest
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(2)  # stereo — violates the mono 16-bit contract
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 64)
+    from udacity_datalake_spark_spark.operators.multimodal import audio_frame_energy
+
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="mono 16-bit"):
+        audio_frame_energy(df).collect()
+
+
 def test_near_dup_lsh_prefilter_subset_and_recall(spark, sf_dir):
     """The LSH-prefiltered near-dup path must be a subset of the exact
     broadcast path (same verify kernel ⇒ no false positives) with high

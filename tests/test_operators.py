@@ -270,6 +270,32 @@ def test_global_running_sum_equals_window(spark, sf_dir):
     assert got == want
 
 
+def test_global_running_sum_null_prefix_equals_window(spark):
+    """NULL handling must match the global window exactly: an all-NULL
+    prefix yields NULL; a bucket whose WITHIN-bucket prefix is all-NULL
+    still carries earlier buckets' non-null sum (round-2 advice item —
+    the old NULL + __offset arithmetic dropped it to NULL)."""
+    from pyspark.sql import Window
+
+    from udacity_datalake_spark_spark.operators.topk import global_running_sum
+
+    # Leading rows NULL (tests NULL-prefix → NULL), then a NULL-heavy
+    # tail so some small buckets are entirely NULL (tests carry-forward).
+    rows = [(i, float(i), None if (i < 5 or i % 3 == 0) else i * 10) for i in range(60)]
+    d = spark.createDataFrame(rows, "id long, k double, v long")
+    order = [F.col("k"), F.col("id")]
+    got = {
+        r.id: r.running
+        for r in global_running_sum(d, order, "k", "v", n_buckets=13).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r.id: r.running for r in d.withColumn("running", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    assert want[0] is None  # the all-NULL prefix case is actually exercised
+
+
 def test_ranked_topk_equals_window(spark, sf_dir):
     from pyspark.sql import Window
 

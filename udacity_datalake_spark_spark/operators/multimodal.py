@@ -372,6 +372,14 @@ def audio_frame_energy(
             rows = {k: [] for k in ("doc_id", "n_frames", "n_voiced", "peak_frame_energy")}
             for rid, payload in zip(pdf[id_col], pdf["payload"]):
                 with wavmod.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    # np.frombuffer('<i2') assumes mono 16-bit PCM; an
+                    # 8-bit or stereo payload would silently produce wrong
+                    # frame counts/energies — fail loudly instead.
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise ValueError(
+                            "audio_frame_energy expects mono 16-bit PCM; got "
+                            f"sampwidth={w.getsampwidth()} channels={w.getnchannels()}"
+                        )
                     nfr = w.getnframes()
                     samples = np.frombuffer(w.readframes(nfr), dtype="<i2").astype(np.int64)
                 n_full = len(samples) // frame_len

@@ -116,18 +116,26 @@ def global_running_sum(
     bucketed = _assign_buckets(df, bucket_col, descending, n_buckets)
     bsums = bucketed.groupBy("__bucket").agg(F.sum(value_col).alias("__bsum"))
     woff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # __offset stays NULL (not 0) when no earlier bucket has a non-null
+    # value: the global window's sum is NULL over an all-NULL prefix, and
+    # the coalesce chain below reproduces that exactly — within+offset
+    # when both exist, whichever side exists otherwise, NULL only when
+    # the whole global prefix is NULL.
     offs = bsums.select(
-        "__bucket",
-        F.coalesce(F.sum("__bsum").over(woff), F.lit(0)).alias("__offset"),
+        "__bucket", F.sum("__bsum").over(woff).alias("__offset")
     )
     w = (
         Window.partitionBy("__bucket")
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    within = F.sum(value_col).over(w)
     return (
         bucketed.join(F.broadcast(offs), "__bucket")
-        .withColumn(out_col, F.sum(value_col).over(w) + F.col("__offset"))
+        .withColumn(
+            out_col,
+            F.coalesce(within + F.col("__offset"), within, F.col("__offset")),
+        )
         .drop("__bucket", "__offset")
     )
 

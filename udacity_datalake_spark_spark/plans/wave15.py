@@ -61,8 +61,10 @@ _TWO_SAMPLE_BINS_SQL = """
         FROM cells
     )
     SELECT n1, n2,
-           CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
-           round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+           CAST(max(abs(CAST(cum1 AS HUGEINT) * n2
+                        - CAST(cum2 AS HUGEINT) * n1)) AS BIGINT) AS ks_num,
+           round(CAST(max(abs(CAST(cum1 AS HUGEINT) * n2
+                              - CAST(cum2 AS HUGEINT) * n1)) AS DOUBLE)
                  / (n1 * CAST(n2 AS DOUBLE)), 6) AS ks_stat
     FROM cum CROSS JOIN tot
     GROUP BY n1, n2
@@ -84,12 +86,16 @@ def q210_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = cells.select(
         F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
     )
-    d_num = F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+    # Widen the cross-product to DECIMAL(38,0): cum·n is count², which
+    # exceeds int64 once each side passes ~3e9 events — Spark would wrap
+    # silently while the HUGEINT oracle stays exact (q213/q246 discipline).
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d_num = F.max(F.abs(d38("cum1") * F.col("n2") - d38("cum2") * F.col("n1")))
     return (
         cum.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
         .agg(
-            d_num.alias("ks_num"),
+            d_num.cast("long").alias("ks_num"),
             F.round(
                 d_num.cast("double") / (F.col("n1") * F.col("n2").cast("double")), 6
             ).alias("ks_stat"),
@@ -110,11 +116,14 @@ def q210_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells
     )
     SELECT n1, n2,
-           CAST(sum(c1 * (2 * prev_cum + c1 + c2 + 1)) AS BIGINT) AS two_r1,
-           CAST(sum(c1 * (2 * prev_cum + c1 + c2 + 1))
-                - n1 * (n1 + 1) AS BIGINT) AS two_u1,
-           round(CAST(sum(c1 * (2 * prev_cum + c1 + c2 + 1))
-                      - n1 * (n1 + 1) AS DOUBLE)
+           CAST(sum(CAST(c1 AS HUGEINT) * (2 * CAST(prev_cum AS HUGEINT)
+                                           + c1 + c2 + 1)) AS BIGINT) AS two_r1,
+           CAST(sum(CAST(c1 AS HUGEINT) * (2 * CAST(prev_cum AS HUGEINT)
+                                           + c1 + c2 + 1))
+                - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS two_u1,
+           round(CAST(sum(CAST(c1 AS HUGEINT) * (2 * CAST(prev_cum AS HUGEINT)
+                                                 + c1 + c2 + 1))
+                      - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
                  / (2 * n1 * CAST(n2 AS DOUBLE)), 6) AS auc
     FROM ranked CROSS JOIN tot
     GROUP BY n1, n2
@@ -144,16 +153,20 @@ def q211_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_cum"
         ),
     )
+    # Same DECIMAL(38,0) widening as q210: c1·prev_cum and n1² are count²
+    # products that outgrow int64 at billions of events per arm.
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     two_r1 = F.sum(
-        F.col("c1") * (2 * F.col("prev_cum") + F.col("c1") + F.col("c2") + 1)
+        d38(F.col("c1"))
+        * (2 * d38(F.col("prev_cum")) + F.col("c1") + F.col("c2") + 1)
     )
-    two_u1 = two_r1 - F.col("n1") * (F.col("n1") + 1)
+    two_u1 = two_r1 - d38(F.col("n1")) * (F.col("n1") + 1)
     return (
         ranked.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
         .agg(
-            two_r1.alias("two_r1"),
-            two_u1.alias("two_u1"),
+            two_r1.cast("long").alias("two_r1"),
+            two_u1.cast("long").alias("two_u1"),
             F.round(
                 two_u1.cast("double")
                 / (2 * F.col("n1") * F.col("n2").cast("double")),

@@ -33,8 +33,8 @@ _D2 = _CELL * _CELL  # squared threshold, exact int64
     oracle=f"""
     WITH pts AS (
         SELECT c_custkey AS id,
-               (c_custkey * {_XMULT}) % {_UNIT} AS x,
-               ((c_custkey + {_YOFF}) * {_YMULT}) % {_UNIT} AS y
+               CAST((CAST(c_custkey AS HUGEINT) * {_XMULT}) % {_UNIT} AS BIGINT) AS x,
+               CAST(((CAST(c_custkey AS HUGEINT) + {_YOFF}) * {_YMULT}) % {_UNIT} AS BIGINT) AS y
         FROM customer
     )
     SELECT count(*) AS n_pairs,
@@ -62,10 +62,15 @@ def q218_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly why the candidate structure is the engine's job, not the
     oracle's."""
     c = read_table(spark, sf_dir, "customer", columns=["c_custkey"])
+    # Widen to DECIMAL(38,0) before the multiply: c_custkey * _XMULT exceeds
+    # int64 once c_custkey ≳ 3.5e9 (SF ≳ 23k) — Spark would wrap silently
+    # while the DuckDB oracle (HUGEINT) errors.  The % _UNIT result is < 1e6
+    # so the cast back to BIGINT is always exact.
+    wide = F.col("c_custkey").cast("decimal(38,0)")
     pts = c.select(
         F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") * _XMULT) % _UNIT).alias("x"),
-        (((F.col("c_custkey") + _YOFF) * _YMULT) % _UNIT).alias("y"),
+        ((wide * _XMULT) % _UNIT).cast("bigint").alias("x"),
+        (((wide + _YOFF) * _YMULT) % _UNIT).cast("bigint").alias("y"),
     )
     pairs = grid_radius_self_join(pts, _CELL)
     return pairs.agg(
