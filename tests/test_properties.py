@@ -299,3 +299,61 @@ def test_shingle_containment_pairs_property(spark, docs):
             if inter * 1000 >= 900 * len(si):
                 want.add((small, big))
     assert got == want, (got, want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=20,
+    ),
+)
+@SETTINGS
+def test_degree_oriented_triangles_property(spark, edges):
+    """The Suri–Vassilvitskii wedge join must count exactly the triangles
+    of the undirected graph — equal to the brute-force set count on
+    arbitrary small graphs (dupes and both orientations in the input)."""
+    from udacity_datalake_spark_spark.plans.wave15 import triangles
+
+    und = {(min(u, w), max(u, w)) for u, w in edges}
+    if not und:
+        return
+    df = spark.createDataFrame(sorted(und), "u long, w long")
+    got = triangles(df).first().n_triangles
+
+    adj: dict[int, set[int]] = {}
+    for u, w in und:
+        adj.setdefault(u, set()).add(w)
+        adj.setdefault(w, set()).add(u)
+    want = sum(
+        1
+        for u, w in und
+        for c in adj[u] & adj[w]
+        if c > w  # u < w < c: each triangle once
+    )
+    assert got == want, (sorted(und), got, want)
+
+
+def test_degree_oriented_triangles_hub_graph(spark):
+    """Planted hub: a 400-leaf star plus one chord has exactly 1 triangle,
+    and the (degree, id) orientation keeps the wedge fan-out linear —
+    all star edges point AT the hub (highest degree), so the hub's
+    out-degree is 0 and no leaf generates more than C(2,2) wedges.
+    Under raw-id orientation a hub with the smallest id would generate
+    C(400,2) ≈ 80k wedges; here the total is exactly 1."""
+    from udacity_datalake_spark_spark.plans.wave15 import oriented_by_degree, triangles
+
+    n = 400
+    hub = 0  # smallest id AND highest degree — the adversarial raw-id case
+    edges = [(hub, i) for i in range(1, n + 1)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "u long, w long")
+    assert triangles(df).first().n_triangles == 1
+
+    # Wedge-count bound: Σ C(out-deg, 2) with degree orientation.
+    from pyspark.sql import functions as F2
+
+    out_deg = oriented_by_degree(df).groupBy("a").agg(F2.count(F2.lit(1)).alias("od"))
+    wedge_total = out_deg.agg(
+        F2.sum(F2.col("od") * (F2.col("od") - 1) / 2).alias("wt")
+    ).first().wt
+    assert wedge_total <= n, f"degree orientation should keep wedges linear, got {wedge_total}"
