@@ -139,6 +139,49 @@ def test_connected_components_long_chain(spark, threshold):
     assert len(rows) == 12
 
 
+def test_connected_components_path_graph_log_rounds(spark):
+    """The MR-CC (large-star/small-star) loop must label a 10⁴-node path
+    graph — the adversarial diameter case that made min-label
+    propagation crawl — in O(log n) rounds, with output identical to
+    the union-find fast path."""
+    from udacity_datalake_spark_spark.operators import graph
+    from udacity_datalake_spark_spark.operators.graph import connected_components
+
+    n = 10_000
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    got = {
+        (r.node, r.component)
+        for r in connected_components(
+            edges, small_graph_threshold=0, max_iter=30
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(n + 1)}
+    # O(log n) bound: log2(10^4) ≈ 13.3; min-label needed diameter=10^4.
+    assert graph.last_cc_rounds <= 16, f"took {graph.last_cc_rounds} rounds"
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Distributed MR-CC vs driver union-find on a random graph with
+    mixed component shapes (cliques, chains, isolated pairs)."""
+    import random
+
+    from udacity_datalake_spark_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    pairs = [(u, v) for u, v in pairs if u != v]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
+    uf = {
+        (r.node, r.component)
+        for r in connected_components(edges, small_graph_threshold=10**9).collect()
+    }
+    assert dist == uf
+
+
 def test_dq_report_counts_planted_violations(spark):
     from udacity_datalake_spark_spark.operators.quality import (
         dq_report,

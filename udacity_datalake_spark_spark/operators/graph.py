@@ -3,19 +3,18 @@ turns pairwise near-duplicate hits (MinHash/SimHash/Jaccard pairs) into
 duplicate GROUPS, so a dedup pass can keep one canonical document per
 component instead of per pair.
 
-Algorithm: iterative min-label propagation (each node repeatedly takes
-the minimum label among itself and its neighbors) with an early-exit
-convergence check.  Rounds needed = graph diameter; near-dup graphs are
-unions of small dense cliques (diameter ≲ 3), so this converges in a
-handful of shuffles.  For adversarial long-chain graphs at 100 TB, swap
-the propagation step for the alternating large-star/small-star rounds of
-Kiveris et al. (MR-CC) — O(log n) rounds — behind the same signature;
-the driver-side loop here only ever moves per-round change COUNTS, never
-row data.
+Algorithm: alternating large-star/small-star rounds (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — MR-CC).
+Both rules re-point edges at per-node minima, so the edge set converges
+to a star forest rooted at each component's minimum id in O(log n)
+rounds REGARDLESS of diameter — a path-shaped near-dup chain (doc A ~ B
+~ C ~ … ~ Z) that would take O(n) min-label-propagation rounds finishes
+in a dozen.  The driver-side loop only ever moves per-round signature
+scalars, never row data.
 
-Each round persists its label frame and truncates lineage via
-localCheckpoint, so the plan doesn't grow exponentially with iterations
-(the classic iterative-DataFrame trap).
+Each round truncates lineage via localCheckpoint, so the plan doesn't
+grow exponentially with iterations (the classic iterative-DataFrame
+trap).
 """
 
 from __future__ import annotations
@@ -23,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: Rounds the last distributed connected_components call took to reach
+#: its fixed point — observability hook for the O(log n) property test.
+last_cc_rounds: int = 0
 
 
 def connected_components(
@@ -84,48 +87,77 @@ def connected_components(
         rows = [(v, _find(v)) for v in parent]
         return ed.sparkSession.createDataFrame(rows, schema=out_schema)
 
-    und = (
-        ed.union(ed.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")))
+    # ---- distributed path: alternating large-star / small-star --------
+    # Edges live canonically as (a, b) with a > b; both rules only ever
+    # re-point an endpoint at a per-node MINIMUM, so the set shrinks
+    # toward the star forest rooted at each component's min id in
+    # O(log n) rounds (Kiveris et al., MR-CC) — the refinement min-label
+    # propagation (O(diameter) rounds) only had on paper until round 3.
+    e = (
+        ed.where(F.col("node") != F.col("nbr"))
+        .select(
+            F.greatest("node", "nbr").alias("a"), F.least("node", "nbr").alias("b")
+        )
         .distinct()
-        # partition the (big, static) edge list on the per-round join key
-        # ONCE — every propagation round then shuffles only the label
-        # frame (one small row per node), never the edges
-        .repartition("nbr")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = und.select("node").distinct().withColumn("component", F.col("node"))
-    labels = labels.localCheckpoint(eager=True)
 
-    # labels only ever decrease (min-propagation), so the label sum
-    # strictly decreases while anything changes: convergence is "sum
-    # unchanged", one aggregate action per round — no new-vs-old join.
+    # Fixed-point signature: both rules are endpoint-non-increasing, so
+    # the (count, Σa, Σb) triple is stationary iff the edge set is —
+    # one tiny aggregate action per round, no new-vs-old join.
     # decimal(38,0) so a 1e9-node graph of int64 ids can't overflow.
     def _sig(frame: DataFrame):
-        return frame.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+        row = frame.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("a").cast("decimal(38,0)")),
+            F.sum(F.col("b").cast("decimal(38,0)")),
+        ).first()
+        return tuple(row)
 
-    prev_sig = _sig(labels)
+    global last_cc_rounds
+    prev_sig = _sig(e)
+    rounds = 0
     for _ in range(max_iter):
-        # candidate label for each node: its own + every neighbor's label
-        # (rename before joining — und and labels share lineage)
-        by_nbr = labels.select(F.col("node").alias("__nbr"), "component")
-        nbr_labels = und.join(by_nbr, und.nbr == F.col("__nbr"), "inner").select(
-            "node", "component"
+        # large-star: at every node u, link each STRICTLY LARGER
+        # neighbor v to m = min(N(u) ∪ {u}).  Always v > m, so output
+        # is already canonical.
+        und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        new_labels = (
-            labels.select("node", "component")
-            .union(nbr_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        mins = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        labels = new_labels
-        cur_sig = _sig(labels)
+        # small-star: at every node a, link its ≤-neighbors (all of b,
+        # since edges are canonical) AND a itself to mv = min of them.
+        mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
+        ss_members = (
+            ls.join(mins2, "a")
+            .where(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        ss_self = mins2.select(F.col("a"), F.col("m").alias("b"))
+        e = ss_members.union(ss_self).distinct().localCheckpoint(eager=True)
+        rounds += 1
+        cur_sig = _sig(e)
         if cur_sig == prev_sig:
             break
         prev_sig = cur_sig
+    last_cc_rounds = rounds
 
-    und.unpersist()
-    return labels
+    # star forest → labels: every big endpoint points at its root, roots
+    # label themselves; the min() is a no-op at the fixed point but keeps
+    # the output well-defined if max_iter cut convergence short.
+    return (
+        e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+        .union(e.select(F.col("b").alias("node"), F.col("b").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
 
 
 def pagerank_fixed_point(
