@@ -83,10 +83,13 @@ HEADLINE = [
     "q246_monetary_unit_sampling",
     "q261_audio_frame_energy",
     "q271_late_event_rate",
-    # q155 (sparse cosine) is deliberately NOT a headline query: on the
-    # synthetic corpus's ~30-term vocabulary every doc shares its "top"
-    # terms with most others, so the qualifying-pair OUTPUT itself is
-    # quadratic (~1M pairs at sf0.1) — output-bound, not plan-bound.
+    # q155 (sparse cosine, all qualifying pairs) is deliberately NOT a
+    # headline query: on the synthetic corpus's ~30-term vocabulary every
+    # doc shares its "top" terms with most others, so the qualifying-pair
+    # OUTPUT itself is quadratic (~1M pairs at sf0.1) — output-bound, not
+    # plan-bound.  q301 is the linear-output (per-doc top-k) product
+    # shape of the same computation and IS benched:
+    "q301_sparse_cosine_topk",
 ]
 
 

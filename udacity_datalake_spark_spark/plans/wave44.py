@@ -1,0 +1,162 @@
+"""Wave 44: linear-output sparse-cosine retrieval — the scale-safe
+product shape for lexical similarity (round-2 `weak` item #2).
+
+q155 emits every qualifying pair, which on a shared-vocabulary corpus is
+output-quadratic by definition — no plan fixes an output that big.  The
+production shape is per-document top-k ADMISSION: each document keeps
+only its k most similar neighbors, so the output is O(n·k) regardless of
+how dense the similarity graph is.  q301 is that query, and (unlike
+q155) it belongs in the bench headline set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+
+@query(
+    "q301_sparse_cosine_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+        SELECT doc_id, term,
+               CAST(round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS DECIMAL(18,6)) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    topw AS (
+        SELECT doc_id, term, w FROM (
+            SELECT doc_id, term, w,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY w DESC, term) AS rn
+            FROM w
+        ) WHERE rn <= 10
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM topw GROUP BY doc_id
+    ),
+    pruned AS (
+        SELECT doc_id, term, w FROM (
+            SELECT doc_id, term, w,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY w DESC, doc_id) AS pr
+            FROM topw
+        ) WHERE pr <= 200
+    ),
+    dots AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+        FROM pruned a JOIN pruned b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sims AS (
+        SELECT d1 AS qid, d2 AS nid, dot / (na.nrm * nb.nrm) AS cosine
+        FROM dots JOIN norms na ON d1 = na.doc_id
+                  JOIN norms nb ON d2 = nb.doc_id
+        UNION ALL
+        SELECT d2, d1, dot / (na.nrm * nb.nrm)
+        FROM dots JOIN norms na ON d1 = na.doc_id
+                  JOIN norms nb ON d2 = nb.doc_id
+    )
+    SELECT qid, nid, CAST(rnk AS INT) AS rank, round(cosine, 6) AS cosine
+    FROM (
+        SELECT qid, nid, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rnk
+        FROM sims
+    ) WHERE rnk <= 3
+    """,
+)
+def q301_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 lexical neighbors by sparse TF-IDF cosine over
+    each doc's 10 most distinctive terms — q155's retrieval twin with
+    LINEAR output: every document reports exactly its k best matches,
+    so the result is O(n·k) no matter how dense the similarity graph.
+
+    Scale shape: docs reduce to 10 decimal-weighted postings before any
+    pairing; each term's posting list is impact-pruned to its top-200
+    weights (Anh & Moffat) so the candidate join is bounded by
+    Σ_t min(|postings(t)|, 200)² — never docs², even on a
+    shared-vocabulary corpus; dot products accumulate in exact DECIMAL
+    and convert to double once.  The admission ranking is a
+    PER-DOCUMENT window — partitioned by qid, embarrassingly parallel,
+    nothing like q13's global-top-k problem — ordered by the
+    bit-deterministic cosine (exact-decimal dot ÷ product of IEEE sqrt
+    norms is identical on any engine) with nid as tiebreak, so the
+    oracle twin picks the identical neighbor set."""
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
+    )
+    topw = (
+        w.withColumn("rn", rn).where(F.col("rn") <= 10).select("doc_id", "term", "w")
+    )
+    norms = topw.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    # Impact-ordered posting pruning (Anh & Moffat): each term's posting
+    # list keeps only its 200 highest-weight docs, so the candidate join
+    # is bounded by Σ_t min(|postings(t)|, 200)² — the knob that makes
+    # lexical top-k retrieval scale past a shared-vocabulary corpus
+    # where raw postings² is quadratic.  Deterministic (w desc, doc_id)
+    # cut, mirrored term-for-term in the oracle.
+    pr = F.row_number().over(
+        Window.partitionBy("term").orderBy(F.col("w").desc(), "doc_id")
+    )
+    pruned = (
+        topw.withColumn("pr", pr).where(F.col("pr") <= 200).select("doc_id", "term", "w")
+    )
+    a = pruned.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("wa"))
+    b = pruned.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    cos = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("na")), "d1"
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nb")), "d2"
+        )
+        .select("d1", "d2", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"))
+    )
+    sims = cos.select(
+        F.col("d1").alias("qid"), F.col("d2").alias("nid"), "cosine"
+    ).unionAll(cos.select(F.col("d2").alias("qid"), F.col("d1").alias("nid"), "cosine"))
+    rnk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    )
+    return (
+        sims.withColumn("rank", rnk)
+        .where(F.col("rank") <= 3)
+        .select("qid", "nid", F.col("rank").cast("int").alias("rank"),
+                F.round("cosine", 6).alias("cosine"))
+    )
