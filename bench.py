@@ -130,18 +130,41 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 4)
 
+    # Scaling-slope evidence: time the same set once at sf0.01 and record
+    # t(sf_main)/t(sf0.01) per query.  The "within 2×" bar measured at a
+    # single SF can hide a quadratic candidate blowup (dedup/similarity
+    # prefilters); the slope exposes it — data grows 10×, so a healthy
+    # query's ratio is ≲10-with-overhead, and anything ≥20 is flagged.
+    slopes: dict[str, float] = {}
+    flagged: list[str] = []
+    small_dir = "/root/testdata/sf0.01"
+    if os.path.isdir(small_dir) and small_dir != sf_dir and os.environ.get(
+        "SPARK_GRAFT_BENCH_SLOPES", "1"
+    ) != "0":
+        for name in timings:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, small_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            slopes[name] = round(timings[name] / best, 2) if best > 0 else 0.0
+        flagged = [n for n, r in slopes.items() if r >= 20.0]
+
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if slopes:
+        out["slope_vs_sf0.01"] = slopes
+        out["slope_flagged_ge20x"] = flagged
+    print(json.dumps(out))
     sys.stdout.flush()
     spark.stop()
 
