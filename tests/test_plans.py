@@ -385,3 +385,65 @@ def test_static_partition_pruning_limits_scan(spark, sf_dir, tmp_path):
     df = spark.read.parquet(path).where(F.col("o_year") == 1995)
     lines = [l for l in explain_str(df).splitlines() if "PartitionFilters" in l]
     assert lines and any("1995" in l for l in lines), lines
+
+
+# Audited plan shapes for the report waves (34-44): (max hash exchanges,
+# max SinglePartition exchanges, max BroadcastNestedLoopJoin nodes).
+# The discipline these pin: each query reduces the fact table to a
+# bounded frame with its FIRST fact-grain hash exchange; every further
+# exchange operates on aggregated (grain-bounded) frames, every
+# SinglePartition exchange feeds a bounded-frame window/aggregate, and
+# every BNLJ is a crossJoin against a broadcast single-row stats frame.
+# A regression that adds an exchange, a driver-sized window, or a real
+# nested-loop join fails here, not on the cluster.
+_WAVE34PLUS_PLAN_BUDGET = {
+    "q275_return_rate_ci": (1, 0, 0),
+    "q276_price_dispersion": (1, 0, 0),
+    "q277_duplicate_orders": (1, 0, 0),
+    "q278_segment_migration": (7, 0, 0),
+    "q279_cohort_ltv_curve": (6, 0, 0),
+    "q280_source_style_similarity": (2, 0, 2),
+    "q281_reliability_ranking": (1, 0, 0),
+    "q282_dead_stock": (3, 0, 0),
+    "q283_ranker_agreement": (20, 1, 0),
+    "q284_hash_uniformity": (5, 1, 2),
+    "q285_adjusted_anomalies": (6, 1, 2),
+    "q286_payback_period": (6, 0, 0),
+    "q287_kpi_tree": (3, 1, 2),
+    "q288_price_elasticity": (1, 0, 0),
+    "q289_market_overlap": (9, 0, 0),
+    "q290_qq_drift": (2, 2, 6),
+    "q291_priority_equity": (2, 1, 2),
+    "q292_attach_rates": (7, 0, 0),
+    "q293_markov_entropy": (6, 0, 0),
+    "q294_top_movers": (2, 0, 0),
+    "q295_stickiness": (5, 0, 0),
+    "q296_tukey_outliers": (2, 0, 0),
+    "q297_effect_size": (0, 1, 0),
+    "q298_basket_depth": (3, 1, 2),
+    "q299_weekend_share": (1, 0, 0),
+    "q300_corpus_scorecard": (2, 2, 2),
+    "q301_sparse_cosine_topk": (10, 1, 9),
+}
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name", sorted(_WAVE34PLUS_PLAN_BUDGET))
+def test_wave34plus_report_plan_budget(spark, sf_dir, name):
+    """Waves 34-44 (report queries): exchange/join budget frozen from the
+    round-3 plan audit — see _WAVE34PLUS_PLAN_BUDGET."""
+    from udacity_datalake_spark_spark.explain import exchange_kinds
+
+    df = QUERIES[name](spark, sf_dir)
+    kinds = exchange_kinds(df)
+    joins = join_nodes(df)
+    max_hash, max_single, max_bnlj = _WAVE34PLUS_PLAN_BUDGET[name]
+    assert kinds.count("hash") <= max_hash, (name, kinds)
+    assert kinds.count("single") <= max_single, (name, kinds)
+    assert kinds.count("range") == 0, (name, kinds)
+    assert joins.count("BroadcastNestedLoopJoin") <= max_bnlj, (name, joins)
+    assert "CartesianProduct" not in joins, (name, joins)
+    assert not has_python_eval(df), name
+    spark.catalog.clearCache()

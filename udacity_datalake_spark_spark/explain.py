@@ -71,3 +71,33 @@ def exchange_count(df: DataFrame) -> int:
 
     plan = explain_str(df)
     return len(re.findall(r"^\(\d+\) Exchange(?!.*Reused)", plan, flags=re.MULTILINE))
+
+
+def exchange_kinds(df: DataFrame) -> list[str]:
+    """Partitioning kind of each distinct (non-reused) Exchange node:
+    ``hash``, ``range``, ``single`` (SinglePartition) or ``other`` — the
+    detail section pairs each ``(n) Exchange`` header with an
+    ``Arguments: <partitioning>(…)`` line."""
+    import re
+
+    plan = explain_str(df)
+    kinds: list[str] = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.match(r"^\(\d+\) Exchange(?!.*Reused)", line):
+            continue
+        for follow in lines[i + 1 : i + 6]:
+            follow = follow.strip()
+            if follow.startswith("Arguments:"):
+                if "hashpartitioning" in follow:
+                    kinds.append("hash")
+                elif "rangepartitioning" in follow:
+                    kinds.append("range")
+                elif "SinglePartition" in follow:
+                    kinds.append("single")
+                else:
+                    kinds.append("other")
+                break
+        else:
+            kinds.append("other")
+    return kinds

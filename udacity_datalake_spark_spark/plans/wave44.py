@@ -113,8 +113,14 @@ def q301_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
     )
+    # persisted: the weighted-postings frame feeds the norms, both sides
+    # of the candidate join, and (via them) both union branches — without
+    # the cache the tokenize→tf→idf chain replicates ~8× in the plan
     topw = (
-        w.withColumn("rn", rn).where(F.col("rn") <= 10).select("doc_id", "term", "w")
+        w.withColumn("rn", rn)
+        .where(F.col("rn") <= 10)
+        .select("doc_id", "term", "w")
+        .persist()
     )
     norms = topw.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
@@ -147,6 +153,8 @@ def q301_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             norms.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nb")), "d2"
         )
         .select("d1", "d2", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"))
+        # persisted: consumed by both directions of the mirror union
+        .persist()
     )
     sims = cos.select(
         F.col("d1").alias("qid"), F.col("d2").alias("nid"), "cosine"
