@@ -90,6 +90,8 @@ HEADLINE = [
     # plan-bound.  q301 is the linear-output (per-doc top-k) product
     # shape of the same computation and IS benched:
     "q301_sparse_cosine_topk",
+    # compressed-format (PNG) decode: zlib inflate + unfilter in mapInPandas
+    "q302_png_decode",
 ]
 
 

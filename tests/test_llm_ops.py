@@ -252,3 +252,45 @@ def test_near_dup_auto_picks_lsh_above_threshold(spark, sf_dir):
     finally:
         pssql.DataFrame.toPandas = orig
     assert len(rows) > 0
+
+
+def test_png_decode_matches_ppm_decode(spark, sf_dir):
+    """PNG and PPM payloads share the pixel formula, so decoding both
+    must give identical (width, height, channel-sum) stats — the
+    cross-format consistency check on the full stdlib PNG codec pair
+    (deflate + CRC + None/Sub/Up filters actually applied at encode)."""
+    from udacity_datalake_spark_spark.operators.multimodal import (
+        decode_media,
+        synthesize_png_payload,
+        synthesize_ppm_payload,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id").limit(60)
+    png = {
+        r.doc_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+        for r in decode_media(synthesize_png_payload(d), "png").collect()
+    }
+    ppm = {
+        r.doc_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+        for r in decode_media(synthesize_ppm_payload(d), "ppm").collect()
+    }
+    assert png == ppm and len(png) == 60
+    # the synthesizer's (id + row) % 3 rule covers all three filter types
+    # across 60 consecutive ids — the unfiltering paths all ran
+
+
+def test_png_decode_rejects_corrupt_crc(spark):
+    """A flipped payload byte must fail the chunk CRC check loudly."""
+    import pytest
+
+    from udacity_datalake_spark_spark.operators.multimodal import (
+        decode_media,
+        synthesize_png_payload,
+    )
+
+    d = spark.createDataFrame([(5,)], "doc_id long")
+    payload = bytearray(synthesize_png_payload(d).first().payload)
+    payload[40] ^= 0xFF  # inside IDAT body
+    bad = spark.createDataFrame([(5, bytes(payload))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="CRC mismatch"):
+        decode_media(bad, "png").collect()

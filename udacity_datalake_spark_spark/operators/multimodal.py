@@ -167,6 +167,152 @@ def synthesize_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(synth, schema)
 
 
+def synthesize_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 8-bit RGB PNG payload per row — a REAL compressed
+    PNG built with only the stdlib (``zlib`` + ``struct`` +
+    ``binascii.crc32``): signature, IHDR, one zlib-deflated IDAT, IEND,
+    with chunk CRCs.  Pixels follow q194's PPM formula (w = 16 + id%8,
+    h = 8 + id%5, flat byte j = (id·31 + j·97) mod 256) so the decode
+    stats have the same closed-form oracle; scanline r is ACTUALLY
+    filtered with type (id + r) mod 3 (None/Sub/Up) before deflate, the
+    way a real encoder adapts per row — so ``decode_media('png')`` has
+    genuine unfiltering work to do, checked end-to-end."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    import numpy as np
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                w, h = 16 + rid % 8, 8 + rid % 5
+                j = np.arange(w * h * 3, dtype=np.int64)
+                raw = ((rid * 31 + j * 97) % 256).astype(np.uint8).reshape(h, w * 3)
+                stream = bytearray()
+                prior = np.zeros(w * 3, dtype=np.uint8)
+                for r in range(h):
+                    ft = (rid + r) % 3
+                    line = raw[r]
+                    if ft == 0:
+                        filt = line
+                    elif ft == 1:  # Sub: minus the byte 3 (bpp) to the left
+                        left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+                        filt = (line.astype(np.int16) - left).astype(np.uint8)
+                    else:  # Up: minus the prior scanline
+                        filt = (line.astype(np.int16) - prior).astype(np.uint8)
+                    stream.append(ft)
+                    stream.extend(filt.tobytes())
+                    prior = line
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + _chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def _png_unfilter(stream: bytes, width: int, height: int):
+    """Reverse PNG scanline filtering (all five standard types) for an
+    8-bit RGB image — returns an (h, w·3) uint8 array.  Pure stdlib +
+    numpy; Sub/Paeth recurrences run per-byte within a scanline (lines
+    are short; the corpus-level parallelism is across rows/batches)."""
+    import numpy as np
+
+    stride = width * 3
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prior = np.zeros(stride, dtype=np.int16)
+    for r in range(height):
+        ft = stream[pos]
+        pos += 1
+        line = np.frombuffer(stream, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int16
+        )
+        pos += stride
+        if ft == 0:
+            recon = line
+        elif ft == 2:  # Up
+            recon = (line + prior) % 256
+        elif ft in (1, 3, 4):
+            recon = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                a = recon[x - 3] if x >= 3 else 0  # left
+                b = prior[x]  # up
+                if ft == 1:  # Sub
+                    pred = a
+                elif ft == 3:  # Average
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = prior[x - 3] if x >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = recon.astype(np.uint8)
+        prior = recon
+    return out
+
+
+def _png_parse(data: bytes):
+    """Parse a PNG byte string: verify signature and every chunk CRC,
+    return (width, height, inflated scanline stream).  Only the subset
+    this engine synthesizes is accepted (8-bit RGB, no interlace) —
+    anything else fails loudly rather than mis-decoding."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, ctype_, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant: need 8-bit RGB non-interlaced, got "
+                    f"depth={depth} color={ctype_} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG has no IHDR chunk")
+    return width, height, zlib.decompress(bytes(idat))
+
+
 WAV_DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -197,10 +343,13 @@ def decode_media(df: DataFrame, codec: str, id_col: str = "doc_id") -> DataFrame
       (sample_rate, n_channels, n_samples, integer sum|sample|, peak).
     - ``ppm``: P6 header parse + numpy frombuffer → (width, height,
       per-channel integer sums).
+    - ``png``: stdlib-only compressed decode — chunk walk with CRC
+      verification, zlib inflate, 5-type scanline unfiltering → the
+      same (width, height, per-channel sums) as ppm.
 
-    Both emit integer-exact statistics, so the decode path is
-    oracle-checkable end-to-end (q193/q194).  Codecs that genuinely
-    require external libraries (jpeg/png/mp3/h264 …) still raise — the
+    All emit integer-exact statistics, so the decode path is
+    oracle-checkable end-to-end (q193/q194/q302).  Codecs that genuinely
+    require external libraries (jpeg/mp3/h264 …) still raise — the
     production implementation drops a PIL/ffmpeg call into the same
     mapInPandas loop with the same contract: binary in, typed stats out,
     payload bytes never shuffled."""
@@ -250,9 +399,32 @@ def decode_media(df: DataFrame, codec: str, id_col: str = "doc_id") -> DataFrame
 
         return df.select(id_col, "payload").mapInPandas(decode, PPM_DECODE_SCHEMA)
 
+    if codec == "png":
+        # Real compressed-format decode, stdlib-only: chunk walk with CRC
+        # verification, zlib inflate, full 5-type scanline unfiltering
+        # (_png_parse/_png_unfilter).  Emits the same per-channel integer
+        # sums as the ppm path, so the two formats cross-check (q302).
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                rows = {k: [] for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+                for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                    w, h, stream = _png_parse(bytes(payload))
+                    px = _png_unfilter(stream, w, h).astype(np.int64).reshape(h, w, 3)
+                    rows["doc_id"].append(rid)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_r"].append(int(px[:, :, 0].sum()))
+                    rows["sum_g"].append(int(px[:, :, 1].sum()))
+                    rows["sum_b"].append(int(px[:, :, 2].sum()))
+                yield pd.DataFrame(rows)
+
+        return df.select(id_col, "payload").mapInPandas(decode, PPM_DECODE_SCHEMA)
+
     raise NotImplementedError(
         f"media decode ({codec}) requires codec libraries (PIL/ffmpeg/...) not in "
-        "this environment; wav/ppm are fully implemented and show the batch shape"
+        "this environment; wav/ppm/png are fully implemented and show the batch shape"
     )
 
 

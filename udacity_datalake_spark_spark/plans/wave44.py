@@ -6,7 +6,8 @@ output-quadratic by definition — no plan fixes an output that big.  The
 production shape is per-document top-k ADMISSION: each document keeps
 only its k most similar neighbors, so the output is O(n·k) regardless of
 how dense the similarity graph is.  q301 is that query, and (unlike
-q155) it belongs in the bench headline set.
+q155) it belongs in the bench headline set.  q302 retires the
+compressed-format decode boundary with a real stdlib PNG codec pair.
 """
 
 from __future__ import annotations
@@ -168,3 +169,44 @@ def q301_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", F.col("rank").cast("int").alias("rank"),
                 F.round("cosine", 6).alias("cosine"))
     )
+
+
+@query(
+    "q302_png_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(16 + doc_id % 8 AS INT) AS width,
+               CAST(8 + doc_id % 5 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(list_sum(list_transform(range(width * height),
+                p -> (doc_id * 31 + (p * 3 + 0) * 97) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(width * height),
+                p -> (doc_id * 31 + (p * 3 + 1) * 97) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(width * height),
+                p -> (doc_id * 31 + (p * 3 + 2) * 97) % 256)) AS BIGINT) AS sum_b
+    FROM dims
+    """,
+)
+def q302_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED image decode end-to-end: one real PNG per document
+    (stdlib-built: zlib-deflated IDAT, chunk CRCs, per-scanline
+    None/Sub/Up filters actually applied at encode time) → full
+    stdlib-only decode (signature + CRC verification, inflate, 5-type
+    unfiltering) → per-channel integer sums, oracle-checked against the
+    same closed-form pixel formula as q194.  This retires the round-2
+    NotImplementedError boundary for compressed formats: the only
+    still-stubbed codecs are ones whose decoders genuinely aren't in
+    this container (jpeg/mp3/h264).
+
+    Same no-media-on-the-exchange shape as q193/q194: payload bytes are
+    born and die inside two mapInPandas stages on one partitioning."""
+    from udacity_datalake_spark_spark.operators.multimodal import (
+        decode_media,
+        synthesize_png_payload,
+    )
+
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id"])
+    return decode_media(synthesize_png_payload(d), "png")
