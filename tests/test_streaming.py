@@ -309,3 +309,59 @@ def test_stream_stream_left_outer_interval_join_equals_batch(spark, events_dir, 
     #    null-extended (non-empty), and every one the batch join agrees on
     nulls_got = {r for r in got if r[1] == "None"}
     assert nulls_got and nulls_got <= want
+
+
+def test_streaming_lateness_audit_equals_batch(spark, sf_dir, tmp_path):
+    """q271's lateness audit from a TRUE Structured Streaming run: events
+    replayed one arrival-day per micro-batch (per-day files,
+    maxFilesPerTrigger=1), the event-time high-water mark carried across
+    batches in applyInPandasWithState state — the summed per-batch
+    emissions must reproduce the batch query's numbers exactly."""
+    import math
+    import os
+    import shutil
+
+    from udacity_datalake_spark_spark.plans import QUERIES
+    from udacity_datalake_spark_spark.streaming.stateful import streaming_lateness_audit
+
+    e = read_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    days = sorted(
+        r[0] for r in e.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    stream_dir = tmp_path / "bydays"
+    stream_dir.mkdir()
+    base = 1_700_000_000
+    for i, d in enumerate(days):
+        tmp_out = str(tmp_path / f"__day{i}")
+        e.where(F.to_date("ts") == F.lit(d)).coalesce(1).write.parquet(tmp_out)
+        part = next(p for p in os.listdir(tmp_out) if p.endswith(".parquet"))
+        dst = stream_dir / f"{i:04d}.parquet"
+        shutil.move(os.path.join(tmp_out, part), dst)
+        os.utime(dst, (base + i, base + i))  # oldest-first source order = day order
+
+    schema = e.schema
+    stream = read_parquet_stream(spark, str(stream_dir), schema, max_files_per_trigger=1)
+    emitted = run_available_now(
+        streaming_lateness_audit(stream), "t_lateness", output_mode="append"
+    )
+    got = {
+        r.event_type: (
+            r.n,
+            r.late,
+            round(r.late / r.n, 6),
+            math.floor(r.maxlat / 60_000_000),
+        )
+        for r in emitted.groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n"),
+            F.sum("n_late_1h").alias("late"),
+            F.max("max_lateness_us").alias("maxlat"),
+        )
+        .collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.n_late_1h, r.late_1h_share, r.max_lateness_minutes)
+        for r in QUERIES["q271_late_event_rate"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(v[1] for v in want.values()) > 0, "fixture should contain late events"

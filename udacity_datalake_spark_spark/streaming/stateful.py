@@ -51,3 +51,71 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+LATENESS_STATE_SCHEMA = "wm_us LONG"
+LATENESS_OUTPUT_SCHEMA = (
+    "event_type STRING, n_events LONG, n_late_1h LONG, max_lateness_us LONG"
+)
+
+
+def streaming_lateness_audit(
+    events: DataFrame, late_threshold_us: int = 3_600_000_000
+) -> DataFrame:
+    """q271's lateness audit as a TRUE stateful stream: the running
+    event-time high-water mark lives in the state store and advances
+    across micro-batches; each batch emits per-event-type partial
+    counts (events seen, events later than the threshold behind the
+    watermark, max lateness) that the caller sums.
+
+    Matches the batch replay exactly when each micro-batch is one
+    arrival day (``maxFilesPerTrigger=1`` over per-day files): rows are
+    re-sorted inside the operator by q271's intra-day arrival order
+    (md5(event_id), event_id), so the running max visits events in the
+    identical global sequence — the stream-vs-batch equality test pins
+    it.  State is ONE long per key; the single global key mirrors the
+    fact that an ingest watermark is a global scalar, and the per-batch
+    pandas work is a sort + cummax, Arrow-batched."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (wm,) = state.get if state.exists else (-(1 << 62),)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["__day", "__h", "event_id"], kind="mergesort")
+        ts = batch["ts_us"].to_numpy(dtype="int64")
+        run_wm = np.maximum(np.maximum.accumulate(ts), wm)
+        lateness = run_wm - ts
+        state.update((int(run_wm[-1]) if len(ts) else wm,))
+        out = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(),
+                "lateness": lateness,
+            }
+        )
+        agg = out.groupby("event_type", as_index=False).agg(
+            n_events=("lateness", "size"),
+            n_late_1h=("lateness", lambda s: int((s > late_threshold_us).sum())),
+            max_lateness_us=("lateness", "max"),
+        )
+        yield agg.astype(
+            {"n_events": "int64", "n_late_1h": "int64", "max_lateness_us": "int64"}
+        )
+
+    keyed = events.select(
+        F.lit(1).alias("__g"),
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_date(F.to_date("ts")).alias("__day"),
+        F.md5(F.col("event_id").cast("string")).alias("__h"),
+    )
+    return keyed.groupBy("__g").applyInPandasWithState(
+        update,
+        outputStructType=LATENESS_OUTPUT_SCHEMA,
+        stateStructType=LATENESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
