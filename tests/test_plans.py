@@ -405,7 +405,7 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q280_source_style_similarity": (2, 0, 2),
     "q281_reliability_ranking": (1, 0, 0),
     "q282_dead_stock": (3, 0, 0),
-    "q283_ranker_agreement": (20, 1, 0),
+    "q283_ranker_agreement": (12, 1, 0),
     "q284_hash_uniformity": (5, 1, 2),
     "q285_adjusted_anomalies": (6, 1, 2),
     "q286_payback_period": (6, 0, 0),

@@ -70,7 +70,10 @@ def q283_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r_cnt"),
     )
-    lists = top.where(F.col("r_cos") <= 10)
+    # persisted: both sides of the pair self-join would otherwise replay
+    # the whole co-purchase pipeline (the round-3 plan audit counted 20
+    # planned exchanges); the cached frame is ≤10 rows per anchor
+    lists = top.where(F.col("r_cos") <= 10).persist()
     a = lists.select("pk", F.col("neighbor").alias("na"), F.col("r_cos").alias("ca"), F.col("r_cnt").alias("ka"))
     b = lists.select("pk", F.col("neighbor").alias("nb"), F.col("r_cos").alias("cb"), F.col("r_cnt").alias("kb"))
     pairs = (
