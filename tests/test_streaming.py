@@ -365,3 +365,77 @@ def test_streaming_lateness_audit_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert sum(v[1] for v in want.values()) > 0, "fixture should contain late events"
+
+
+def test_streaming_lateness_state_survives_restart(spark, sf_dir, tmp_path):
+    """Durability: the lateness watermark state must persist across two
+    SEPARATE availableNow runs sharing one checkpoint — days arriving
+    after a restart are audited against the watermark the FIRST run
+    advanced, and already-processed files are not replayed.  Combined
+    emissions equal the single-run batch numbers exactly."""
+    import math
+    import os
+    import shutil
+
+    from udacity_datalake_spark_spark.plans import QUERIES
+    from udacity_datalake_spark_spark.streaming.stateful import streaming_lateness_audit
+    from udacity_datalake_spark_spark.streaming.windows import (
+        run_available_now_checkpointed,
+    )
+
+    e = read_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    days = sorted(
+        r[0] for r in e.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert len(days) >= 4, "need several days to split across restarts"
+    stream_dir = tmp_path / "bydays"
+    stream_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    base = 1_700_000_000
+
+    def land(i, d):
+        tmp_out = str(tmp_path / f"__day{i}")
+        e.where(F.to_date("ts") == F.lit(d)).coalesce(1).write.parquet(tmp_out)
+        part = next(p for p in os.listdir(tmp_out) if p.endswith(".parquet"))
+        dst = stream_dir / f"{i:04d}.parquet"
+        shutil.move(os.path.join(tmp_out, part), dst)
+        os.utime(dst, (base + i, base + i))
+
+    half = len(days) // 2
+    for i, d in enumerate(days[:half]):
+        land(i, d)
+    schema = e.schema
+    stream = read_parquet_stream(spark, str(stream_dir), schema, max_files_per_trigger=1)
+    run1 = run_available_now_checkpointed(
+        streaming_lateness_audit(stream), str(tmp_path / "out1"), ckpt
+    ).collect()
+
+    # "restart": new query object, same checkpoint, later days landed
+    for i, d in enumerate(days[half:], start=half):
+        land(i, d)
+    stream2 = read_parquet_stream(spark, str(stream_dir), schema, max_files_per_trigger=1)
+    run2 = run_available_now_checkpointed(
+        streaming_lateness_audit(stream2), str(tmp_path / "out2"), ckpt
+    ).collect()
+
+    n_run1 = sum(r.n_events for r in run1)
+    n_run2 = sum(r.n_events for r in run2)
+    assert n_run1 > 0 and n_run2 > 0, "both runs must process events"
+
+    agg: dict = {}
+    for r in list(run1) + list(run2):
+        n, late, mx = agg.get(r.event_type, (0, 0, 0))
+        agg[r.event_type] = (
+            n + r.n_events,
+            late + r.n_late_1h,
+            max(mx, r.max_lateness_us),
+        )
+    got = {
+        t: (n, late, round(late / n, 6), math.floor(mx / 60_000_000))
+        for t, (n, late, mx) in agg.items()
+    }
+    want = {
+        r.event_type: (r.n_events, r.n_late_1h, r.late_1h_share, r.max_lateness_minutes)
+        for r in QUERIES["q271_late_event_rate"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -117,6 +117,37 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = 
     return stream_df.sparkSession.table(query_name)
 
 
+def run_available_now_checkpointed(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Like ``run_available_now`` but with a durable checkpoint: source
+    offsets AND operator state (applyInPandasWithState state store,
+    window/dedup state) persist in ``checkpoint_dir``, so a second call
+    with the same checkpoint resumes exactly where the last run stopped
+    — already-processed files are not replayed, and stateful operators
+    continue from their stored state.  This is the production restart
+    path.  The memory sink can't recover from a checkpoint, so emissions
+    land in ``out_dir`` parquet via foreachBatch (fault-tolerant sink);
+    pass a fresh ``out_dir`` per run to read each run's emissions."""
+    spark = stream_df.sparkSession
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def read_rate_stream(
     spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 4
 ) -> DataFrame:
