@@ -308,6 +308,7 @@ PANDAS_ALLOWLIST = {
     "q215_heavy_hitter_bigrams",
     "q261_audio_frame_energy",
     "q262_image_quadrants",
+    "q302_png_decode",
 }
 
 
