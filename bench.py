@@ -156,17 +156,34 @@ def main() -> None:
         flagged = [n for n, r in slopes.items() if r >= 20.0]
 
     total = round(sum(timings.values()), 4)
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
+    # The driver captures the TAIL of stdout and parses the last JSON
+    # line.  Round 3 appended the 51-entry slope dict to the headline
+    # line, pushing the front (metric/value/most timings) past the
+    # capture window — BENCH_r03.json recorded "parsed": null.  So:
+    # slopes go on their own line FIRST, and the compact headline JSON
+    # is printed LAST (nothing after it, including Spark shutdown logs,
+    # which go to stderr).
     if slopes:
-        out["slope_vs_sf0.01"] = slopes
-        out["slope_flagged_ge20x"] = flagged
-    print(json.dumps(out))
+        print(
+            json.dumps(
+                {
+                    "metric": "slope_vs_sf0.01",
+                    "slopes": slopes,
+                    "flagged_ge20x": flagged,
+                }
+            )
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
     sys.stdout.flush()
     spark.stop()
 

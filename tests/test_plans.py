@@ -425,6 +425,13 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q299_weekend_share": (1, 0, 0),
     "q300_corpus_scorecard": (2, 2, 2),
     "q301_sparse_cosine_topk": (10, 1, 9),
+    # round 4: wave 44/45 additions.  4th element (when present) = allowed
+    # range exchanges; 5th = python eval allowed (q302's mapInPandas
+    # decode is the allowlisted Arrow path).
+    "q302_png_decode": (0, 0, 0, 0, True),
+    "q303_repetition_flags": (1, 0, 0),
+    "q304_dominant_token_share": (3, 0, 0),
+    "q305_feature_hashing": (2, 0, 0, 1),
 }
 
 
@@ -433,18 +440,69 @@ import pytest as _pytest
 
 @_pytest.mark.parametrize("name", sorted(_WAVE34PLUS_PLAN_BUDGET))
 def test_wave34plus_report_plan_budget(spark, sf_dir, name):
-    """Waves 34-44 (report queries): exchange/join budget frozen from the
-    round-3 plan audit — see _WAVE34PLUS_PLAN_BUDGET."""
+    """Waves 34-45 (report queries): exchange/join budget frozen from the
+    round-3/4 plan audits — see _WAVE34PLUS_PLAN_BUDGET."""
     from udacity_datalake_spark_spark.explain import exchange_kinds
 
     df = QUERIES[name](spark, sf_dir)
     kinds = exchange_kinds(df)
     joins = join_nodes(df)
-    max_hash, max_single, max_bnlj = _WAVE34PLUS_PLAN_BUDGET[name]
+    budget = _WAVE34PLUS_PLAN_BUDGET[name]
+    max_hash, max_single, max_bnlj = budget[:3]
+    max_range = budget[3] if len(budget) > 3 else 0
+    allow_python = budget[4] if len(budget) > 4 else False
     assert kinds.count("hash") <= max_hash, (name, kinds)
     assert kinds.count("single") <= max_single, (name, kinds)
-    assert kinds.count("range") == 0, (name, kinds)
+    assert kinds.count("range") <= max_range, (name, kinds)
     assert joins.count("BroadcastNestedLoopJoin") <= max_bnlj, (name, joins)
     assert "CartesianProduct" not in joins, (name, joins)
-    assert not has_python_eval(df), name
+    assert has_python_eval(df) == allow_python, name
     spark.catalog.clearCache()
+
+
+_PLAN_SNAPSHOT_PATH = (
+    __import__("pathlib").Path(__file__).parent / "fixtures" / "plan_budgets.json"
+)
+_PLAN_SNAPSHOT = __import__("json").loads(_PLAN_SNAPSHOT_PATH.read_text())
+
+
+def test_plan_snapshot_covers_registry():
+    """Every registered query must have a plan-budget snapshot entry —
+    a new wave regenerates tests/fixtures/plan_budgets.json
+    (scripts/snapshot_plans.py) as part of landing."""
+    missing = sorted(set(QUERIES) - set(_PLAN_SNAPSHOT))
+    assert not missing, f"run scripts/snapshot_plans.py — missing: {missing}"
+
+
+@_pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registry_plan_budget_snapshot(spark, sf_dir, name):
+    """Registry-wide plan freeze (round 4): every query's physical plan
+    must stay within its checked-in snapshot — shuffle exchanges by
+    partitioning kind, nested-loop/cartesian join nodes, and the
+    python-eval flag (exact match: a query silently FALLING OFF an
+    allowlisted Arrow path matters as much as one falling onto it).
+    Regressions name the query and the dimension that grew.  Budgets are
+    upper bounds, so a plan IMPROVEMENT (fewer exchanges) passes;
+    regenerate the snapshot (scripts/snapshot_plans.py) to ratchet it
+    down."""
+    snap = _PLAN_SNAPSHOT.get(name)
+    if snap is None:
+        _pytest.skip("covered by test_plan_snapshot_covers_registry")
+    from udacity_datalake_spark_spark.explain import exchange_kinds
+
+    df = QUERIES[name](spark, sf_dir)
+    kinds = exchange_kinds(df)
+    joins = join_nodes(df)
+    got = {
+        "hash": kinds.count("hash"),
+        "single": kinds.count("single"),
+        "range": kinds.count("range"),
+        "other": kinds.count("other"),
+        "bnlj": joins.count("BroadcastNestedLoopJoin"),
+        "cartesian": joins.count("CartesianProduct"),
+    }
+    over = {k: (got[k], snap[k]) for k in got if got[k] > snap[k]}
+    assert not over, (name, over)
+    assert has_python_eval(df) == snap["python_eval"], name
+    spark.catalog.clearCache()
+

@@ -319,7 +319,8 @@ def test_degree_oriented_triangles_property(spark, edges):
     if not und:
         return
     df = spark.createDataFrame(sorted(und), "u long, w long")
-    got = triangles(df).first().n_triangles
+    got = triangles(df, orientation="degree").first().n_triangles
+    got_id = triangles(df, orientation="id").first().n_triangles
 
     adj: dict[int, set[int]] = {}
     for u, w in und:
@@ -332,6 +333,7 @@ def test_degree_oriented_triangles_property(spark, edges):
         if c > w  # u < w < c: each triangle once
     )
     assert got == want, (sorted(und), got, want)
+    assert got_id == want, (sorted(und), got_id, want)
 
 
 def test_degree_oriented_triangles_hub_graph(spark):
@@ -348,6 +350,8 @@ def test_degree_oriented_triangles_hub_graph(spark):
     edges = [(hub, i) for i in range(1, n + 1)] + [(1, 2)]
     df = spark.createDataFrame(edges, "u long, w long")
     assert triangles(df).first().n_triangles == 1
+    # force the S-V path too (auto picks id here: 80k wedges fits budget)
+    assert triangles(df, orientation="degree").first().n_triangles == 1
 
     # Wedge-count bound: Σ C(out-deg, 2) with degree orientation.
     from pyspark.sql import functions as F2

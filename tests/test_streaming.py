@@ -439,3 +439,33 @@ def test_streaming_lateness_state_survives_restart(spark, sf_dir, tmp_path):
         for r in QUERIES["q271_late_event_rate"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_epoch_keyed_sink_replay_idempotent(spark, sf_dir, tmp_path):
+    """Exactly-once sink: a replayed micro-batch (crash between the
+    parquet write and the checkpoint commit → Structured Streaming
+    re-runs the SAME epoch id) must not double rows.  Simulated by
+    invoking the foreachBatch callback twice with one epoch id — the
+    second write overwrites the first's directory — and once more under
+    a new epoch id to prove distinct epochs still accumulate."""
+    from udacity_datalake_spark_spark.streaming.sinks import (
+        epoch_keyed_batch_writer,
+        read_epoch_keyed,
+    )
+
+    out = str(tmp_path / "sink")
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .limit(100)
+    )
+    n = batch.count()
+    write_batch = epoch_keyed_batch_writer(out)
+    write_batch(batch, 0)
+    write_batch(batch, 0)  # the replay
+    got = read_epoch_keyed(spark, out)
+    assert got.count() == n, "replayed epoch must overwrite, not append"
+    assert got.columns == ["event_id", "event_type"], "epoch dir key must not leak"
+
+    write_batch(batch, 1)  # a genuinely new epoch appends
+    assert read_epoch_keyed(spark, out).count() == 2 * n

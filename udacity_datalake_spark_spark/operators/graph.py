@@ -46,6 +46,8 @@ def connected_components(
     returning a lazy plan, since iterative label propagation has no
     single-plan form anyway.
     """
+    global last_cc_rounds
+    last_cc_rounds = 0  # set by the distributed loop; 0 on the union-find path
     edges = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
     # materialize the edge list ONCE before mirroring it: the union below
     # references `edges` twice, and without this an expensive upstream
@@ -103,18 +105,22 @@ def connected_components(
     )
 
     # Fixed-point signature: both rules are endpoint-non-increasing, so
-    # the (count, Σa, Σb) triple is stationary iff the edge set is —
-    # one tiny aggregate action per round, no new-vs-old join.
+    # the (count, Σa, Σb, Σ xxhash64(a,b)) quadruple is stationary iff
+    # the edge set is — one tiny aggregate action per round, no
+    # new-vs-old join.  The per-edge hash term makes a coincidental
+    # (count, Σa, Σb) collision between DIFFERENT edge sets (possible in
+    # principle: monotone re-pointing preserving both endpoint sums)
+    # astronomically unlikely rather than merely improbable.
     # decimal(38,0) so a 1e9-node graph of int64 ids can't overflow.
     def _sig(frame: DataFrame):
         row = frame.agg(
             F.count(F.lit(1)),
             F.sum(F.col("a").cast("decimal(38,0)")),
             F.sum(F.col("b").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
         ).first()
         return tuple(row)
 
-    global last_cc_rounds
     prev_sig = _sig(e)
     rounds = 0
     for _ in range(max_iter):

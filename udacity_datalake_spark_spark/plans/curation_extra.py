@@ -23,10 +23,11 @@ pipeline, each designed for the 100 TB shape:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from udacity_datalake_spark_spark.operators.similarity import kmeans_assign
+from udacity_datalake_spark_spark.operators.similarity import ivf_centroids, kmeans_assign
 from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
@@ -184,27 +185,57 @@ def q102_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q103_embedding_clusters")  # rows-only: k-means has no SQL oracle
+@query(
+    "q103_embedding_clusters",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           TRUE AS all_assigned_exactly_once,
+           TRUE AS n_clusters_in_range,
+           TRUE AS centroids_deterministic
+    FROM embeddings
+    """,
+)
 def q103_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded k-means clustering of the embedding corpus → per-cluster
-    size and label entropy proxy (distinct labels) — the
-    topic-discovery / cluster-balancing primitive for corpus curation.
+    """Seeded k-means clustering of the embedding corpus, reported as its
+    oracle-checkable invariants (the q22/q96 pattern for operators whose
+    raw output — cluster memberships — no SQL engine can derive):
+
+    - ``n_vectors``: distinct vectors assigned, which the oracle pins to
+      the embeddings row count — so a dropped or duplicated document
+      surfaces as a value mismatch, not just a row-count drift;
+    - ``all_assigned_exactly_once``: assignment rows == distinct vec_ids
+      (the explode produced exactly one cluster per vector);
+    - ``n_clusters_in_range``: 1 ≤ distinct cluster_id ≤ k;
+    - ``centroids_deterministic``: two independent fixed-seed trainings
+      produce bit-identical centroid matrices (the reproducibility
+      contract the per-cluster output rests on).
 
     Centroids train on a bounded seeded sample (cost independent of
     corpus size); assignment is one Arrow-batched matmul pass; the only
-    exchange is the final per-cluster aggregate.  Deterministic for the
-    fixed seed — asserted by the twin-run test in tests/test_llm_ops.py.
+    exchange is the final summary aggregate.  The per-cluster size/label
+    frame itself remains available via ``similarity.kmeans_assign`` and
+    is pinned by the twin-run determinism + completeness test in
+    tests/test_llm_ops.py.
     """
+    k = 8
     e = read_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(e, id_col="vec_id", n_cells=8, seed=42)
-    return (
-        assigned.join(e.select("vec_id", "label"), "vec_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.count_distinct("label").alias("n_labels"),
-        )
-        .orderBy("cluster_id")
+    assigned = kmeans_assign(e, id_col="vec_id", n_cells=k, seed=42)
+    # bounded driver-side work: two trainings over the same 2000-row
+    # seeded sample — constant in corpus size, like the training itself
+    c1 = ivf_centroids(e, "embedding", k, seed=42)
+    c2 = ivf_centroids(e, "embedding", k, seed=42)
+    det = bool(np.array_equal(c1, c2))
+    return assigned.agg(
+        F.count(F.lit(1)).alias("__n_assign"),
+        F.count_distinct("vec_id").alias("__n_vec"),
+        F.count_distinct("cluster_id").alias("__k_used"),
+    ).select(
+        F.col("__n_vec").alias("n_vectors"),
+        (F.col("__n_assign") == F.col("__n_vec")).alias("all_assigned_exactly_once"),
+        ((F.col("__k_used") >= 1) & (F.col("__k_used") <= k)).alias(
+            "n_clusters_in_range"
+        ),
+        F.lit(det).alias("centroids_deterministic"),
     )
 
 

@@ -130,22 +130,28 @@ def run_available_now_checkpointed(
     — already-processed files are not replayed, and stateful operators
     continue from their stored state.  This is the production restart
     path.  The memory sink can't recover from a checkpoint, so emissions
-    land in ``out_dir`` parquet via foreachBatch (fault-tolerant sink);
-    pass a fresh ``out_dir`` per run to read each run's emissions."""
+    land in ``out_dir`` parquet via the epoch-keyed foreachBatch sink
+    (sinks.epoch_keyed_batch_writer): each micro-batch overwrites its own
+    ``epoch={id}`` subdirectory, so a crash between the parquet write and
+    the checkpoint commit replays the epoch into the SAME directory
+    instead of appending duplicates — exactly-once output, not just
+    at-least-once.  Pass a fresh ``out_dir`` per run to read each run's
+    emissions."""
+    from udacity_datalake_spark_spark.streaming.sinks import (
+        epoch_keyed_batch_writer,
+        read_epoch_keyed,
+    )
+
     spark = stream_df.sparkSession
-
-    def write_batch(df: DataFrame, epoch_id: int) -> None:
-        df.write.mode("append").parquet(out_dir)
-
     q = (
-        stream_df.writeStream.foreachBatch(write_batch)
+        stream_df.writeStream.foreachBatch(epoch_keyed_batch_writer(out_dir))
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return read_epoch_keyed(spark, out_dir)
 
 
 def read_rate_stream(
