@@ -432,6 +432,14 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q303_repetition_flags": (1, 0, 0),
     "q304_dominant_token_share": (3, 0, 0),
     "q305_feature_hashing": (2, 0, 0, 1),
+    # wave 46 (round 4): BNLJ entries are crossJoins against broadcast
+    # constant frames (4-row hash seeds, 1-row totals, 20-row depth
+    # spine) — never data×data
+    "q306_ngram_overlap_eval": (6, 0, 0),
+    "q307_domain_caps": (1, 0, 0),
+    "q308_countmin_sketch": (5, 1, 6, 1),
+    "q309_bloom_decontamination": (6, 0, 4),
+    "q310_rank_biased_overlap": (4, 3, 2),
 }
 
 
