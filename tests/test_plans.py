@@ -440,6 +440,10 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q308_countmin_sketch": (5, 1, 6, 1),
     "q309_bloom_decontamination": (6, 0, 4),
     "q310_rank_biased_overlap": (4, 3, 2),
+    # wave 47 (round 4)
+    "q311_exact_substring_spans": (4, 0, 0),
+    "q312_distribution_drift": (2, 2, 2),
+    "q313_quantization_audit": (2, 0, 0, 1),
 }
 
 

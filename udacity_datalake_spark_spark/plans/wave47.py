@@ -1,0 +1,377 @@
+"""Wave 47: exact-substring span dedup (the Lee-et-al. "deduplicating
+training data" primitive q94's repeated-gram signal feeds), corpus
+distribution drift (smoothed KL / Jensen-Shannon between snapshot
+halves), and an int8 embedding-quantization audit — three more
+documents/embeddings-table operators a 100 TB training pipeline runs.
+
+Reference parity note: the reference (etl.py, /root/reference) has no
+text or vector surface; these extend the q94 (repeated n-grams), q310
+(ranking drift) and q132 (embedding aggregate) families.
+
+Cross-engine float discipline: every float reduction in this wave sums
+BIGINT-scaled terms (floor(x·10^10 + 0.5), the q221 idiom) instead of
+rounding doubles — the per-term ln()/square() values come out of both
+engines bit-identically, and the integer sum is partition-order proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_datalake_spark_spark.plans.registry import query
+from udacity_datalake_spark_spark.sources.readers import read_table
+
+#: Span-dedup gram width (tokens), per the exact-substring dedup
+#: convention of using a fixed minimum match length.
+SPAN_W = 8
+
+
+@query(
+    "q311_exact_substring_spans",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w
+        FROM documents WHERE len(string_split(text, ' ')) >= {SPAN_W}
+    ),
+    grams AS (
+        SELECT doc_id, source, u.p AS p, u.g AS g
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(w) - {SPAN_W} + 2),
+                       i -> struct_pack(p := i,
+                            g := array_to_string(w[i:i+{SPAN_W - 1}], ' ')))) AS u
+            FROM docs
+        )
+    ),
+    dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT gr.doc_id, gr.source, gr.p
+        FROM grams gr JOIN dup ON dup.g = gr.g
+    ),
+    runs AS (
+        SELECT doc_id, source, p,
+               max(p + {SPAN_W} - 1) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM hits
+    ),
+    islands AS (
+        SELECT doc_id, source, p,
+               CAST(sum(CASE WHEN prev_end IS NULL OR p > prev_end
+                             THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS island
+        FROM runs
+    ),
+    spans AS (
+        SELECT doc_id, source, island,
+               min(p) AS s, max(p) + {SPAN_W} - 1 AS e
+        FROM islands GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               count(*) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS covered
+        FROM spans GROUP BY 1, 2
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN pd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_with_spans,
+           CAST(COALESCE(sum(pd.n_spans), 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(sum(pd.covered), 0) AS BIGINT) AS dup_tokens_covered,
+           CAST(sum(len(d.w)) AS BIGINT) AS n_tokens
+    FROM docs d LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def q311_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans: every {W}-token window occurring
+    in ≥2 distinct documents marks its token range duplicated; per doc,
+    overlapping marked ranges merge into MAXIMAL spans (the
+    interval-islands pattern q116 established: a running prev-end max,
+    an island id from its gaps), and the per-source report gives span
+    counts and exact token coverage — the fraction of the corpus an
+    exact-substring dedup pass (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") would cut.
+
+    Scale shape: gram keys shuffle once to find cross-doc duplicates
+    (q94's exchange); the islands windows partition by doc_id, so span
+    merging is key-local with O(1) state per row; everything after is
+    source-grain.  At 100 TB the gram key becomes xxhash64 of the
+    window (8 bytes on the wire) — collisions only over-mark a span,
+    which the exact verify-on-strings here prices."""
+    d = read_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    docs = d.select("doc_id", "source", F.split("text", " ").alias("w")).where(
+        F.size("w") >= SPAN_W
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {SPAN_W}),"
+                f" i -> concat_ws(' ', slice(w, i + 1, {SPAN_W})))"
+            )
+        ).alias("p0", "g"),
+    ).select("doc_id", "source", (F.col("p0") + 1).alias("p"), "g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "source", "p")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = hits.withColumn("prev_end", F.max(F.col("p") + SPAN_W - 1).over(w_prev))
+    islands = runs.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end")), 1
+            ).otherwise(0)
+        )
+        .over(w_run)
+        .cast("long"),
+    )
+    spans = islands.groupBy("doc_id", "source", "island").agg(
+        F.min("p").alias("s"), (F.max("p") + SPAN_W - 1).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("covered"),
+    )
+    return (
+        docs.join(per_doc.select("doc_id", "n_spans", "covered"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_spans").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_with_spans"),
+            F.coalesce(F.sum("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.sum("covered"), F.lit(0)).cast("long").alias(
+                "dup_tokens_covered"
+            ),
+            F.sum(F.size("w")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "q312_distribution_drift",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    c AS (
+        SELECT term,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM tok GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+               count(*) AS v
+        FROM c
+    ),
+    probs AS (
+        SELECT c.term, c.ca, c.cb,
+               (c.ca + 1) / CAST(t.na + t.v AS DOUBLE) AS pa,
+               (c.cb + 1) / CAST(t.nb + t.v AS DOUBLE) AS pb
+        FROM c CROSS JOIN tot t
+    ),
+    terms AS (
+        SELECT ca, cb,
+               CAST(floor(pa * ln(pa / pb) * 1e10 + 0.5) AS BIGINT) AS kl_t,
+               CAST(floor((0.5 * pa * ln(pa / ((pa + pb) / 2))
+                         + 0.5 * pb * ln(pb / ((pa + pb) / 2))) * 1e10 + 0.5)
+                    AS BIGINT) AS js_t
+        FROM probs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lost,
+           CAST(sum(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           round(sum(kl_t) / 1e10, 6) AS kl_a_to_b,
+           round(sum(js_t) / 1e10, 6) AS js_divergence
+    FROM terms
+    """,
+)
+def q312_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distribution drift between two snapshot halves (doc_id
+    parity): Laplace-smoothed unigram KL(A‖B) and Jensen-Shannon
+    divergence plus vocabulary churn (terms lost/new) — the monitor
+    that catches a crawl-pipeline change shifting the token mix before
+    training does.
+
+    Scale shape: one token explode collapses map-side into the
+    (term, half-counts) vocabulary frame; the divergences are one
+    closed-form double per TERM, and the reduction sums
+    BIGINT-scaled contributions (floor(x·10^10 + 0.5) — the q221
+    boundary-proof idiom), so the result is bit-stable under any
+    partitioning and mirrors the oracle exactly."""
+    tok = read_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).select(
+        (F.col("doc_id") % 2).alias("half"), F.explode(F.split("text", " ")).alias("term")
+    )
+    c = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    tot = c.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pa = (F.col("ca") + 1) / (F.col("na") + F.col("v")).cast("double")
+    pb = (F.col("cb") + 1) / (F.col("nb") + F.col("v")).cast("double")
+    probs = c.crossJoin(F.broadcast(tot)).select(
+        "ca", "cb", pa.alias("pa"), pb.alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    kl_t = F.floor(F.col("pa") * F.log(F.col("pa") / F.col("pb")) * 1e10 + 0.5).cast(
+        "long"
+    )
+    js_t = F.floor(
+        (
+            0.5 * F.col("pa") * F.log(F.col("pa") / m)
+            + 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+        )
+        * 1e10
+        + 0.5
+    ).cast("long")
+    return probs.select("ca", "cb", kl_t.alias("kl_t"), js_t.alias("js_t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lost"),
+        F.sum(F.when((F.col("ca") == 0) & (F.col("cb") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.round(F.sum("kl_t") / 1e10, 6).alias("kl_a_to_b"),
+        F.round(F.sum("js_t") / 1e10, 6).alias("js_divergence"),
+    )
+
+
+@query(
+    "q313_quantization_audit",
+    oracle="""
+    WITH vals AS (
+        SELECT u.dim AS dim, CAST(u.v AS DOUBLE) AS v
+        FROM (
+            SELECT unnest(list_transform(range(1, len(embedding) + 1),
+                       i -> struct_pack(dim := i, v := embedding[i]))) AS u
+            FROM embeddings
+        )
+    ),
+    rng AS (
+        SELECT dim, min(v) AS lo, max(v) AS hi, count(*) AS n
+        FROM vals GROUP BY dim
+    ),
+    q AS (
+        SELECT v.dim, v.v, r.lo, r.hi, r.n,
+               (r.hi - r.lo) / 255.0 AS scale,
+               CASE WHEN r.hi = r.lo THEN 0
+                    ELSE least(255, greatest(0,
+                        CAST(floor((v.v - r.lo) / ((r.hi - r.lo) / 255.0) + 0.5)
+                             AS BIGINT)))
+               END AS code
+        FROM vals v JOIN rng r ON r.dim = v.dim
+    ),
+    err AS (
+        SELECT dim, lo, hi, n, scale,
+               abs(v - (lo + code * scale)) AS e
+        FROM q
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(n AS BIGINT) AS n,
+           round(lo, 6) AS lo,
+           round(hi, 6) AS hi,
+           TRUE AS max_err_within_half_step,
+           round(sum(CAST(floor(e * e * 1e10 + 0.5) AS BIGINT)) / 1e10 / n, 6)
+               AS mse
+    FROM err
+    GROUP BY dim, lo, hi, n, scale
+    ORDER BY dim
+    """,
+)
+def q313_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 (0..255) per-dimension linear quantization audit of the
+    embedding corpus: each dimension's [min, max] range maps to 256
+    codes; the output reports per dimension the range, the
+    reconstruction MSE, and asserts the quantization contract — every
+    absolute reconstruction error ≤ half a quantization step — as an
+    oracle-checked TRUE (the q22 tolerance-band pattern).  This is the
+    storage-shrink audit run before shipping a 4×-smaller ANN index.
+
+    Scale shape: one posexplode collapses into the (dim, min/max)
+    frame (64 rows — dimension-bounded); codes and errors evaluate
+    map-side against the broadcast range table; the MSE reduction sums
+    BIGINT-scaled squared errors (floor(e²·10^10 + 0.5)), making the
+    float aggregate partition-order independent."""
+    e = read_table(spark, sf_dir, "embeddings", columns=["embedding"])
+    vals = e.select(F.posexplode("embedding").alias("d0", "vf")).select(
+        (F.col("d0") + 1).alias("dim"), F.col("vf").cast("double").alias("v")
+    )
+    rng = vals.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    scale = (F.col("hi") - F.col("lo")) / 255.0
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("v") - F.col("lo")) / scale + 0.5).cast("long"),
+            ),
+        )
+    )
+    q = vals.join(F.broadcast(rng), "dim").select(
+        "dim", "v", "lo", "hi", "n", scale.alias("scale"), code.alias("code")
+    )
+    err = q.select(
+        "dim",
+        "lo",
+        "hi",
+        "n",
+        "scale",
+        F.abs(F.col("v") - (F.col("lo") + F.col("code") * F.col("scale"))).alias("e"),
+    )
+    return (
+        err.groupBy("dim", "lo", "hi", "n", "scale")
+        .agg(
+            F.max("e").alias("max_e"),
+            F.sum(F.floor(F.col("e") * F.col("e") * 1e10 + 0.5).cast("long")).alias(
+                "sse_scaled"
+            ),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.col("n").cast("long").alias("n"),
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            # computed for real; the oracle expects TRUE (the half-step
+            # bound holds exactly: codes round to the nearest step and
+            # clipping only applies at the range ends)
+            (F.col("max_e") <= F.col("scale") / 2 + F.lit(1e-12)).alias(
+                "max_err_within_half_step"
+            ),
+            F.round(F.col("sse_scaled") / 1e10 / F.col("n"), 6).alias("mse"),
+        )
+        .orderBy("dim")
+    )
