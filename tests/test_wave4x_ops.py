@@ -1,0 +1,202 @@
+"""Brute-force and planted-invariant checks for the wave 46/47 operators
+(beyond their DuckDB oracle twins, which pin cross-engine equality but
+not the MATH): count-min never underestimates ANY term, Bloom
+decontamination never misses a planted contamination, exact-substring
+coverage equals a brute-force interval union, RBO of identical rankings
+equals its closed form, domain caps keep exactly the md5-ordered
+prefix, quantization errors respect the half-step bound on random data,
+and KL/JS collapse to zero on identical halves."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from udacity_datalake_spark_spark.plans import QUERIES
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path / "fix")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows], DOC_SCHEMA
+    ).coalesce(2).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_countmin_never_underestimates_any_term(spark, tmp_path):
+    """The CM guarantee is per-POINT-QUERY, so check est ≥ exact for the
+    whole reported set against independently computed exact counts."""
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        toks = rng.choice([f"t{j}" for j in range(40)], size=30, p=None)
+        rows.append((i, " ".join(toks), f"s{i % 3}"))
+    d = _write_docs(spark, tmp_path, rows)
+    exact: dict[str, int] = {}
+    for _, t, _ in rows:
+        for tok in t.split(" "):
+            exact[tok] = exact.get(tok, 0) + 1
+    out = QUERIES["q308_countmin_sketch"](spark, d).collect()
+    assert out, "top-20 must be non-empty"
+    for r in out:
+        assert r.exact_cnt == exact[r.term], (r.term, r.exact_cnt, exact[r.term])
+        assert r.est_cnt >= r.exact_cnt, f"CM underestimated {r.term}"
+        assert r.never_underestimates and r.within_bound
+
+
+def test_bloom_decontamination_no_false_negatives_planted(spark, tmp_path):
+    """Docs sharing a trigram with a benchmark doc (doc_id % 97 == 0)
+    must ALWAYS be flagged — Bloom filters have no false negatives."""
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [(0, bench_text, "bench")]  # 0 % 97 == 0 → benchmark doc
+    # planted: shares the 'beta gamma delta' trigram
+    rows += [(i, f"x{i} beta gamma delta y{i} z{i}", "corp") for i in range(1, 11)]
+    # clean: disjoint vocabulary
+    rows += [(i, f"p{i} q{i} r{i} s{i} t{i}", "clean") for i in range(11, 21)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in QUERIES["q309_bloom_decontamination"](spark, d).collect()}
+    assert out["corp"].n_contaminated == 10
+    assert out["corp"].n_flagged >= 10, "false negative: planted contamination missed"
+    assert all(r.no_false_negatives for r in out.values())
+    assert out["clean"].n_contaminated == 0
+
+
+def test_exact_substring_spans_match_bruteforce(spark, tmp_path):
+    """Per-source covered-token totals must equal a brute-force interval
+    union over duplicated 8-gram positions."""
+    rng = np.random.default_rng(11)
+    texts = []
+    base = [f"w{j}" for j in range(200)]
+    shared = " ".join(f"d{j}" for j in range(12))  # 12-token planted dup run
+    for i in range(20):
+        toks = list(rng.choice(base, size=25))
+        t = " ".join(toks)
+        if i % 3 == 0:
+            t = t + " " + shared  # planted duplicate block across docs
+        texts.append((i, t, f"s{i % 2}"))
+    d = _write_docs(spark, tmp_path, texts)
+
+    W = 8
+    gram_docs: dict[str, set[int]] = {}
+    doc_words = {}
+    for i, t, _ in texts:
+        w = t.split(" ")
+        doc_words[i] = w
+        for p in range(len(w) - W + 1):
+            g = " ".join(w[p : p + W])
+            gram_docs.setdefault(g, set()).add(i)
+    want_cov: dict[str, int] = {}
+    want_spans: dict[str, int] = {}
+    for i, t, s in texts:
+        w = doc_words[i]
+        marked = sorted(
+            p
+            for p in range(len(w) - W + 1)
+            if len(gram_docs[" ".join(w[p : p + W])]) >= 2
+        )
+        cov = 0
+        spans = 0
+        cur_end = -1
+        for p in marked:
+            if p > cur_end:
+                spans += 1
+                cov += W
+                cur_end = p + W - 1
+            else:
+                cov += p + W - 1 - cur_end
+                cur_end = p + W - 1
+        want_cov[s] = want_cov.get(s, 0) + cov
+        want_spans[s] = want_spans.get(s, 0) + spans
+    out = {r.source: r for r in QUERIES["q311_exact_substring_spans"](spark, d).collect()}
+    for s in want_cov:
+        assert out[s].dup_tokens_covered == want_cov[s], (s, out[s], want_cov[s])
+        assert out[s].n_spans == want_spans[s]
+    assert sum(want_cov.values()) > 0, "fixture must contain planted duplicate spans"
+
+
+def test_rbo_identical_rankings_closed_form(spark, tmp_path):
+    """When every doc contains each of its terms exactly once, the df and
+    tf rankings coincide, and truncated RBO = 1 − p^depth."""
+    vocab = [f"v{j:02d}" for j in range(30)]
+    rows = []
+    for i in range(25):
+        # distinct terms per doc → df == tf contribution per term
+        toks = vocab[: 30 - (i % 5)]
+        rows.append((i, " ".join(toks), "s0"))
+    d = _write_docs(spark, tmp_path, rows)
+    r = QUERIES["q310_rank_biased_overlap"](spark, d).first()
+    want = 1 - 0.9**20
+    assert r.overlap_at_depth == 20
+    assert abs(r.rbo_truncated - want) < 1e-6, (r.rbo_truncated, want)
+
+
+def test_domain_caps_keep_md5_prefix(spark, tmp_path):
+    """kept_docid_sum must equal the sum over the first CAP doc_ids in
+    (md5(doc_id), doc_id) order per source — the cap keeps a
+    deterministic prefix, not an arbitrary subset."""
+    rows = [(i, f"t{i} u{i}", f"s{i % 2}") for i in range(140)]
+    d = _write_docs(spark, tmp_path, rows)
+    per_src: dict[str, list[int]] = {}
+    for i, _, s in rows:
+        per_src.setdefault(s, []).append(i)
+    out = {r.source: r for r in QUERIES["q307_domain_caps"](spark, d).collect()}
+    for s, ids in per_src.items():
+        order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want = sum(order[:50])
+        assert out[s].kept_docid_sum == want, s
+        assert out[s].n_kept == min(50, len(ids))
+        assert out[s].n_total == len(ids)
+
+
+def test_quantization_bound_on_random_embeddings(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    d = str(tmp_path / "emb")
+    vecs = [
+        (int(i), [float(x) for x in rng.normal(size=16)], int(i % 3))
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = QUERIES["q313_quantization_audit"](spark, d).collect()
+    assert len(out) == 16
+    for r in out:
+        assert r.max_err_within_half_step, r
+        step = (r.hi - r.lo) / 255.0
+        assert r.mse <= (step / 2) ** 2 + 1e-9, r
+
+
+def test_distribution_drift_zero_on_identical_halves(spark, tmp_path):
+    """Mirror-paired docs (even/odd ids share a text) make the halves'
+    unigram counts identical → KL and JS must be exactly 0 and the
+    churn counts 0."""
+    rows = []
+    for i in range(30):
+        t = " ".join(f"m{j}" for j in range((i % 7) + 3))
+        rows.append((2 * i, t, "s0"))
+        rows.append((2 * i + 1, t, "s0"))
+    d = _write_docs(spark, tmp_path, rows)
+    r = QUERIES["q312_distribution_drift"](spark, d).first()
+    assert r.kl_a_to_b == 0.0 and r.js_divergence == 0.0
+    assert r.n_lost == 0 and r.n_new == 0
+
+
+def test_ngram_overlap_eval_self_pair_is_perfect(spark, tmp_path):
+    """A candidate identical to its reference must score p1 = p2 =
+    bleu2_core = 1 with no brevity penalty."""
+    rows = []
+    for i in range(5):
+        t = " ".join(f"c{i}_{j}" for j in range(10))
+        rows.append((i, t, "s0"))           # candidate (doc_id < 200)
+        rows.append((i + 200, t, "s0"))     # identical reference partner
+    d = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["q306_ngram_overlap_eval"](spark, d).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.p1 == 1.0 and r.p2 == 1.0 and r.bleu2_core == 1.0
+        assert r.brevity_penalized == 0
