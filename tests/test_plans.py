@@ -444,6 +444,10 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q311_exact_substring_spans": (4, 0, 0),
     "q312_distribution_drift": (2, 2, 2),
     "q313_quantization_audit": (2, 0, 0, 1),
+    # wave 48 (round 4)
+    "q314_contrastive_triplets": (3, 2, 0),
+    "q315_hard_negative_mining": (4, 0, 0),
+    "q316_mixture_allocator": (2, 1, 2),
 }
 
 
