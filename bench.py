@@ -92,6 +92,12 @@ HEADLINE = [
     "q301_sparse_cosine_topk",
     # compressed-format (PNG) decode: zlib inflate + unfilter in mapInPandas
     "q302_png_decode",
+    # round-4 waves 46-48: clipped n-gram eval, Bloom decontamination,
+    # exact-substring span dedup, contrastive triplet generation
+    "q306_ngram_overlap_eval",
+    "q309_bloom_decontamination",
+    "q311_exact_substring_spans",
+    "q314_contrastive_triplets",
 ]
 
 

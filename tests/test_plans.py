@@ -309,6 +309,7 @@ PANDAS_ALLOWLIST = {
     "q261_audio_frame_energy",
     "q262_image_quadrants",
     "q302_png_decode",
+    "q317_bmp_decode",
 }
 
 
@@ -448,6 +449,11 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q314_contrastive_triplets": (3, 2, 0),
     "q315_hard_negative_mining": (4, 0, 0),
     "q316_mixture_allocator": (2, 1, 2),
+    # wave 49 (round 4); q319's BNLJ nodes are broadcast stats
+    # crossJoins inside cosupply_edges' threshold filter
+    "q317_bmp_decode": (0, 0, 0, 0, True),
+    "q318_admission_caps": (3, 0, 0),
+    "q319_link_prediction": (7, 1, 6),
 }
 
 

@@ -200,3 +200,27 @@ def test_ngram_overlap_eval_self_pair_is_perfect(spark, tmp_path):
     for r in out:
         assert r.p1 == 1.0 and r.p2 == 1.0 and r.bleu2_core == 1.0
         assert r.brevity_penalized == 0
+
+
+def test_bmp_decode_agrees_with_ppm_and_rejects_bad_input(spark):
+    """Three-container truth: BMP and PPM payloads of the same ids must
+    decode to identical (width, height, channel sums); a payload without
+    the 'BM' magic must be rejected."""
+    from udacity_datalake_spark_spark.operators.multimodal import (
+        decode_media,
+        synthesize_bmp_payload,
+        synthesize_ppm_payload,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    bmp = {r.doc_id: r for r in decode_media(synthesize_bmp_payload(ids), "bmp").collect()}
+    ppm = {r.doc_id: r for r in decode_media(synthesize_ppm_payload(ids), "ppm").collect()}
+    assert len(bmp) == 24
+    for i in bmp:
+        assert (bmp[i].width, bmp[i].height, bmp[i].sum_r, bmp[i].sum_g, bmp[i].sum_b) == (
+            ppm[i].width, ppm[i].height, ppm[i].sum_r, ppm[i].sum_g, ppm[i].sum_b
+        ), i
+
+    bad = spark.createDataFrame([(1, b"XX" + b"\x00" * 60)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="not a BMP"):
+        decode_media(bad, "bmp").collect()

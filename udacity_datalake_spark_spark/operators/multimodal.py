@@ -167,6 +167,45 @@ def synthesize_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(synth, schema)
 
 
+def synthesize_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 24-bit BI_RGB BMP payload per row (real BMP:
+    14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up BGR rows
+    padded to 4-byte boundaries).  Pixels follow q194's PPM formula
+    (w = 16 + id%8, h = 8 + id%5, flat RGB byte j = (id·31 + j·97) mod
+    256), so BMP, PPM and PNG decodes of the same id must agree — the
+    row-reversal, channel-swap and stride padding are what the decoder
+    has to get right."""
+    import struct
+
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                w, h = 16 + rid % 8, 8 + rid % 5
+                j = np.arange(w * h * 3, dtype=np.int64)
+                rgb = ((rid * 31 + j * 97) % 256).astype(np.uint8).reshape(h, w, 3)
+                bgr = rgb[:, :, ::-1]
+                pad = (-(w * 3)) % 4
+                body = b"".join(
+                    bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+                )
+                off = 14 + 40
+                filehdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+                infohdr = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+                )
+                payloads.append(filehdr + infohdr + body)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
 def synthesize_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic 8-bit RGB PNG payload per row — a REAL compressed
     PNG built with only the stdlib (``zlib`` + ``struct`` +
@@ -422,9 +461,48 @@ def decode_media(df: DataFrame, codec: str, id_col: str = "doc_id") -> DataFrame
 
         return df.select(id_col, "payload").mapInPandas(decode, PPM_DECODE_SCHEMA)
 
+    if codec == "bmp":
+        # Real uncompressed-container decode: header field validation
+        # (magic, 24-bit, BI_RGB), 4-byte row-stride padding strip,
+        # bottom-up row reversal (top-down when biHeight < 0), BGR→RGB.
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import struct
+
+            import numpy as np
+
+            for pdf in batches:
+                rows = {k: [] for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+                for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                    data = bytes(payload)
+                    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", data, 0)
+                    if magic != b"BM":
+                        raise ValueError(f"not a BMP payload: {magic!r}")
+                    hdr_sz, w, h_signed, _planes, bpp, comp = struct.unpack_from(
+                        "<IiiHHI", data, 14
+                    )
+                    if bpp != 24 or comp != 0:
+                        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+                    h = abs(h_signed)
+                    stride = (w * 3 + 3) & ~3
+                    px = np.frombuffer(
+                        data, dtype=np.uint8, count=h * stride, offset=off
+                    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    if h_signed > 0:  # bottom-up storage → flip to top-down
+                        px = px[::-1]
+                    px = px[:, :, ::-1].astype(np.int64)  # BGR → RGB
+                    rows["doc_id"].append(rid)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_r"].append(int(px[:, :, 0].sum()))
+                    rows["sum_g"].append(int(px[:, :, 1].sum()))
+                    rows["sum_b"].append(int(px[:, :, 2].sum()))
+                yield pd.DataFrame(rows)
+
+        return df.select(id_col, "payload").mapInPandas(decode, PPM_DECODE_SCHEMA)
+
     raise NotImplementedError(
         f"media decode ({codec}) requires codec libraries (PIL/ffmpeg/...) not in "
-        "this environment; wav/ppm/png are fully implemented and show the batch shape"
+        "this environment; wav/ppm/png/bmp are fully implemented and show the batch shape"
     )
 
 
