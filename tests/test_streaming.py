@@ -469,3 +469,60 @@ def test_epoch_keyed_sink_replay_idempotent(spark, sf_dir, tmp_path):
 
     write_batch(batch, 1)  # a genuinely new epoch appends
     assert read_epoch_keyed(spark, out).count() == 2 * n
+
+
+def test_streaming_admission_caps_equals_batch(spark, sf_dir, tmp_path):
+    """q318's admission quota from a TRUE stateful stream: events
+    replayed one arrival-day per micro-batch; the per-(user, day)
+    admitted counter persists in state, and the summed emissions must
+    reproduce the batch query's per-type admitted/dropped/throttled
+    numbers exactly (a (user, hour) key never spans days, so the
+    replayed admission set is bit-identical)."""
+    import os
+    import shutil
+
+    from udacity_datalake_spark_spark.plans import QUERIES
+    from udacity_datalake_spark_spark.streaming.stateful import streaming_admission_caps
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts"
+    )
+    days = sorted(
+        r[0] for r in e.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    stream_dir = tmp_path / "bydays"
+    stream_dir.mkdir()
+    base = 1_700_000_000
+    for i, d in enumerate(days):
+        tmp_out = str(tmp_path / f"__day{i}")
+        e.where(F.to_date("ts") == F.lit(d)).coalesce(1).write.parquet(tmp_out)
+        part = next(p for p in os.listdir(tmp_out) if p.endswith(".parquet"))
+        dst = stream_dir / f"{i:04d}.parquet"
+        shutil.move(os.path.join(tmp_out, part), dst)
+        os.utime(dst, (base + i, base + i))
+
+    stream = read_parquet_stream(
+        spark, str(stream_dir), e.schema, max_files_per_trigger=1
+    )
+    emitted = run_available_now(
+        streaming_admission_caps(stream), "t_admission", output_mode="append"
+    )
+    got = {
+        r.event_type: (r.n, r.adm, r.drop, r.thr)
+        for r in emitted.groupBy("event_type")
+        .agg(
+            (F.sum("n_admitted") + F.sum("n_dropped")).alias("n"),
+            F.sum("n_admitted").alias("adm"),
+            F.sum("n_dropped").alias("drop"),
+            F.count_distinct(
+                F.when(F.col("n_dropped") > 0, F.col("user_id"))
+            ).alias("thr"),
+        )
+        .collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.n_admitted, r.n_dropped, r.n_throttled_users)
+        for r in QUERIES["q318_admission_caps"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(v[2] for v in want.values()) > 0, "fixture should throttle someone"

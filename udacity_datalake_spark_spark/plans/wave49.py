@@ -1,5 +1,5 @@
 """Wave 49: BMP container decode (third image format cross-checking the
-PPM/PNG pixel formula), ingest admission caps (per-user-per-hour quota
+PPM/PNG pixel formula), ingest admission caps (per-user-per-day quota
 enforcement), and common-neighbor link prediction over the co-supply
 graph (the classic candidate-scoring primitive for graph-based
 recommendation / near-dup edge completion).
@@ -73,7 +73,7 @@ ADMIT_CAP = 5
     WITH ranked AS (
         SELECT event_type, user_id,
                row_number() OVER (
-                   PARTITION BY user_id, date_trunc('hour', ts)
+                   PARTITION BY user_id, date_trunc('day', ts)
                    ORDER BY ts, event_id) AS rn
         FROM events
     )
@@ -91,12 +91,12 @@ ADMIT_CAP = 5
 )
 def q318_admission_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest admission control: each user admits at most {CAP} events
-    per clock hour (fixed-window quota — the deterministic batch twin of
+    per calendar day (fixed-window quota — the deterministic batch twin of
     an ingest-edge rate limiter), ordered by (ts, event_id) so admission
     is reproducible; the report prices the policy per event type —
     dropped volume and how many users ever hit the throttle.
 
-    Scale shape: ONE (user, hour)-keyed window (per-key state is a
+    Scale shape: ONE (user, day)-keyed window (per-key state is a
     single counter) on the same exchange the per-user analytics family
     (q65/q129/q135) reuses; the rollup is event-type-grain.  A hot user
     is bounded by construction — that is the point of the operator."""
@@ -104,7 +104,7 @@ def q318_admission_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "events", columns=["event_id", "event_type", "user_id", "ts"]
     )
     rn = F.row_number().over(
-        Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
             "ts", "event_id"
         )
     )

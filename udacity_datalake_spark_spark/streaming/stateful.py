@@ -119,3 +119,62 @@ def streaming_lateness_audit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ADMIT_STATE_SCHEMA = "n LONG"
+ADMIT_OUTPUT_SCHEMA = "user_id LONG, event_type STRING, n_admitted LONG, n_dropped LONG"
+
+
+def streaming_admission_caps(events: DataFrame, cap: int = 5) -> DataFrame:
+    """q318's ingest admission control as a TRUE stateful stream: the
+    per-(user, calendar-day) admitted counter lives in the state store, so
+    a user's quota holds across micro-batches; each batch emits partial
+    (user, event_type) admitted/dropped counts the caller sums.
+
+    Matches the batch q318 exactly when per-key arrival order equals the
+    batch's (ts, event_id) order — rows are re-sorted inside the
+    operator per batch, and a (user, day) key never spans arrival days,
+    so day-per-micro-batch replay reproduces the batch admission set
+    bit-for-bit (pinned by the stream-vs-batch test).  State is ONE long
+    per active (user, day); production adds an EventTimeTimeout at the
+    day boundary + watermark to reap closed windows, keeping state
+    O(active keys), not O(stream)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (n,) = state.get if state.exists else (0,)
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        k = len(batch)
+        n_admit = max(0, min(cap - n, k))
+        state.update((n + k,))
+        admitted = np.zeros(k, dtype=bool)
+        admitted[:n_admit] = True
+        out = pd.DataFrame(
+            {"event_type": batch["event_type"].to_numpy(), "admitted": admitted}
+        )
+        agg = out.groupby("event_type", as_index=False).agg(
+            n_admitted=("admitted", "sum"),
+            n_dropped=("admitted", lambda s: int((~s).sum())),
+        )
+        agg.insert(0, "user_id", key[0])
+        yield agg.astype({"n_admitted": "int64", "n_dropped": "int64"})
+
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.date_trunc("day", "ts")).alias("__day_us"),
+    )
+    return keyed.groupBy("user_id", "__day_us").applyInPandasWithState(
+        update,
+        outputStructType=ADMIT_OUTPUT_SCHEMA,
+        stateStructType=ADMIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
