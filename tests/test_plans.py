@@ -454,6 +454,10 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q317_bmp_decode": (0, 0, 0, 0, True),
     "q318_admission_caps": (3, 0, 0),
     "q319_link_prediction": (7, 1, 6),
+    # wave 50 (round 4)
+    "q320_heldout_perplexity": (5, 2, 2),
+    "q321_text_normalization": (1, 0, 0),
+    "q322_k_anonymity_audit": (2, 0, 0),
 }
 
 

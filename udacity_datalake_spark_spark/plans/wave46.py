@@ -388,9 +388,14 @@ def q309_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back to documents.  The exact-overlap branch exists solely to
     price the FP rate — production runs the Bloom probe alone."""
     d = read_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
-    w = F.split("text", " ")
     grams = (
-        d.where(F.size(w) >= 3)
+        # materialize the token array BEFORE the transform: inlining
+        # split() inside the lambda re-splits the whole text per gram
+        # element — O(tokens²) per doc (benched 4.8s → 1.4s at sf0.1)
+        d.select(
+            "doc_id", "source", F.split("text", " ").alias("w")
+        )
+        .where(F.size("w") >= 3)
         .select(
             "doc_id",
             "source",
@@ -398,13 +403,15 @@ def q309_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        "transform(sequence(0, size(split(text, ' ')) - 3),"
-                        " i -> concat_ws(' ', split(text, ' ')[i],"
-                        " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+                        "transform(sequence(0, size(w) - 3),"
+                        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
                     )
                 )
             ).alias("g"),
         )
+        # three consumers (bench set, probe set, doc verdict join) —
+        # token-scale cache beats re-exploding the corpus thrice
+        .persist()
     )
     ks = spark.range(BLOOM_K).select(F.col("id").alias("k"))
     pos = lambda g_col, k_col: F.substring(  # noqa: E731
