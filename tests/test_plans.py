@@ -458,6 +458,9 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q320_heldout_perplexity": (5, 2, 2),
     "q321_text_normalization": (1, 0, 0),
     "q322_k_anonymity_audit": (2, 0, 0),
+    # wave 51 (round 4)
+    "q323_retrieval_metrics": (8, 1, 0),
+    "q324_crossmodal_profile": (1, 0, 0),
 }
 
 
