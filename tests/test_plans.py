@@ -461,6 +461,11 @@ _WAVE34PLUS_PLAN_BUDGET = {
     # wave 51 (round 4)
     "q323_retrieval_metrics": (8, 1, 0),
     "q324_crossmodal_profile": (1, 0, 0),
+    # wave 52 (round 4); q326's BNLJ/single entries are the six
+    # broadcast 1-row count frames the three-table report crossJoins
+    "q325_incremental_lsh_probe": (2, 0, 0),
+    "q326_erasure_audit": (0, 6, 6),
+    "q327_canonical_selection": (1, 0, 0),
 }
 
 

@@ -317,6 +317,85 @@ def minhash_lsh_pairs(
     )
 
 
+def _banded(sig: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """Stack a minhash signature frame into (id, band_idx, band_hash) rows
+    — the LSH index layout (one row per band per doc)."""
+    rows_per_band = k // bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"__h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("__band_idx", "__band_hash")
+    )
+
+
+def incremental_lsh_probe(
+    base: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW document batch against
+    the BASE corpus's LSH index without re-pairing the base — the nightly
+    ingest shape at 100 TB, where the base banded frame is a materialized
+    bucketed table (bucketed on band_hash) and only the new batch is
+    signed, banded, and joined.  Candidates are (new, base) band
+    collisions only — no base×base and no new×new pairs — verified with
+    the same exact-Jaccard array kernel as ``minhash_lsh_pairs``.
+
+    Returns (new_id, base_id, jaccard) pairs with jaccard ≥ threshold.
+    q182 is the exact-fingerprint incremental twin; this is the NEAR-dup
+    one."""
+    new_b = _banded(minhash_signatures(new, id_col, text_col, n, k), id_col, k, bands)
+    base_b = _banded(minhash_signatures(base, id_col, text_col, n, k), id_col, k, bands)
+    candidates = (
+        new_b.select(F.col(id_col).alias("new_id"), "__band_idx", "__band_hash")
+        .join(
+            base_b.select(F.col(id_col).alias("base_id"), "__band_idx", "__band_hash"),
+            ["__band_idx", "__band_hash"],
+        )
+        .select("new_id", "base_id")
+        .distinct()
+    )
+
+    def arrs(side: DataFrame, out_id: str, arr: str, sz: str) -> DataFrame:
+        return (
+            spread(side)
+            .where(F.size(tokens(text_col)) >= n)
+            .select(
+                F.col(id_col).alias(out_id),
+                shingles(text_col, n).alias(arr),
+            )
+            .withColumn(sz, F.size(arr))
+        )
+
+    jac = F.col("__inter").cast("double") / (
+        F.col("__sz1") + F.col("__sz2") - F.col("__inter")
+    )
+    return (
+        candidates.join(arrs(new, "new_id", "__a1", "__sz1"), "new_id")
+        .join(arrs(base, "base_id", "__a2", "__sz2"), "base_id")
+        .select(
+            "new_id",
+            "base_id",
+            "__sz1",
+            "__sz2",
+            F.size(F.array_intersect("__a1", "__a2")).alias("__inter"),
+        )
+        .select("new_id", "base_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: token-hash bit-majority vote.
 
