@@ -466,6 +466,10 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q325_incremental_lsh_probe": (2, 0, 0),
     "q326_erasure_audit": (0, 6, 6),
     "q327_canonical_selection": (1, 0, 0),
+    # wave 53 (round 4)
+    "q328_variant_ingestion": (2, 0, 0),
+    "q329_session_trigrams": (2, 0, 0),
+    "q330_weekday_seasonality": (1, 1, 0),
 }
 
 
