@@ -470,6 +470,11 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q328_variant_ingestion": (2, 0, 0),
     "q329_session_trigrams": (2, 0, 0),
     "q330_weekday_seasonality": (1, 1, 0),
+    # wave 54 (round 4); BNLJ entries are broadcast 1-row/20-row
+    # constant frames (totals, replicate spine); range = output orderBy
+    "q331_jackknife_folds": (1, 1, 2, 1),
+    "q332_deterministic_bootstrap": (1, 0, 2, 1),
+    "q333_feature_mutual_information": (5, 0, 0, 1),
 }
 
 
