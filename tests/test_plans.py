@@ -310,6 +310,7 @@ PANDAS_ALLOWLIST = {
     "q262_image_quadrants",
     "q302_png_decode",
     "q317_bmp_decode",
+    "q335_udtf_chunk_spans",
 }
 
 
@@ -475,6 +476,11 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q331_jackknife_folds": (1, 1, 2, 1),
     "q332_deterministic_bootstrap": (1, 0, 2, 1),
     "q333_feature_mutual_information": (5, 0, 0, 1),
+    # wave 55 (round 4): extension APIs — custom DataSource scan is
+    # JVM-side-framed (arrow batches from partition readers); the UDTF
+    # is the declared python table-function path
+    "q334_custom_source_rollup": (2, 0, 0, 1),
+    "q335_udtf_chunk_spans": (0, 0, 0, 0, True),
 }
 
 
