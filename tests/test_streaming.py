@@ -526,3 +526,38 @@ def test_streaming_admission_caps_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert sum(v[2] for v in want.values()) > 0, "fixture should throttle someone"
+
+
+def test_custom_datasource_stream_equals_batch_and_resumes(spark, tmp_path):
+    """Custom Python DataSource streaming reader: an availableNow drain
+    must produce exactly the batch reader's rows, and a SECOND run on
+    the same checkpoint with a longer horizon must emit only the days
+    beyond the committed offset (the queue-wrapper resume contract)."""
+    from udacity_datalake_spark_spark.sources.pyds import EVENTS_PER_DAY, register
+    from udacity_datalake_spark_spark.streaming.windows import (
+        run_available_now_checkpointed,
+    )
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    run1 = run_available_now_checkpointed(
+        spark.readStream.format("synthevents").option("n_days", "2").load(),
+        str(tmp_path / "out1"),
+        ckpt,
+    )
+    batch2 = spark.read.format("synthevents").option("n_days", "2").load()
+    assert run1.count() == batch2.count() == 2 * EVENTS_PER_DAY
+    assert sorted(r.day for r in run1.select("day").distinct().collect()) == [0, 1]
+    assert {r.event_id for r in run1.collect()} == {
+        r.event_id for r in batch2.collect()
+    }
+
+    # "restart": same checkpoint, horizon extended to 4 days — only the
+    # uncommitted days 2 and 3 may be emitted
+    run2 = run_available_now_checkpointed(
+        spark.readStream.format("synthevents").option("n_days", "4").load(),
+        str(tmp_path / "out2"),
+        ckpt,
+    )
+    assert run2.count() == 2 * EVENTS_PER_DAY
+    assert sorted(r.day for r in run2.select("day").distinct().collect()) == [2, 3]

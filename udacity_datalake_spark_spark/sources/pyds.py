@@ -18,7 +18,12 @@ a non-file system without landing files first.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Generator constants — mirrored verbatim in q334's DuckDB oracle.
 EVENTS_PER_DAY = 1000
@@ -58,8 +63,50 @@ class SyntheticEventsReader(DataSourceReader):
             yield synth_row(partition.day, i)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader.  The offset is the next unread
+    day index, persisted by Structured Streaming's checkpoint — a
+    restart resumes exactly at the committed day (the same offset
+    contract a Kafka or queue wrapper implements).  Each ``read`` call
+    drains every day available up to the ``n_days`` horizon (an
+    availableNow trigger plans from ONE read call, so returning a
+    single day per call would strand the rest)."""
+
+    def __init__(self, options):
+        self.n_days = int(options.get("n_days", 3))
+
+    def initialOffset(self):
+        return {"day": 0}
+
+    def read(self, start):
+        day = start["day"]
+        end = max(day, self.n_days)
+        return (
+            iter(
+                [
+                    synth_row(d, i)
+                    for d in range(day, end)
+                    for i in range(EVENTS_PER_DAY)
+                ]
+            ),
+            {"day": end},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        # deterministic replay for recovery: regenerate the day range
+        return iter(
+            [
+                synth_row(day, i)
+                for day in range(start["day"], end["day"])
+                for i in range(EVENTS_PER_DAY)
+            ]
+        )
+
+
 class SyntheticEventsDataSource(DataSource):
-    """`spark.read.format("synthevents").option("n_days", N)` source."""
+    """`spark.read.format("synthevents").option("n_days", N)` source —
+    batch reader (partition-planned) AND streaming reader (offset-
+    checkpointed, one micro-batch per day) over the same generator."""
 
     @classmethod
     def name(cls) -> str:
@@ -70,6 +117,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:
