@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 
 from udacity_datalake_spark_spark.plans import QUERIES
+from udacity_datalake_spark_spark.sources.readers import read_table
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -224,3 +225,99 @@ def test_bmp_decode_agrees_with_ppm_and_rejects_bad_input(spark):
     bad = spark.createDataFrame([(1, b"XX" + b"\x00" * 60)], "doc_id long, payload binary")
     with pytest.raises(Exception, match="not a BMP"):
         decode_media(bad, "bmp").collect()
+
+
+def test_contrastive_triplets_structure(spark, tmp_path):
+    """q314 invariants on a small labeled set: every anchor whose label
+    has >=2 members appears exactly once; positive is same-label and not
+    the anchor; negative is a different label's md5-minimal head."""
+    d = str(tmp_path / "emb")
+    vecs = [(int(i), [float(i), 0.0], int(i % 4)) for i in range(40)]
+    import pyspark.sql.types as T  # noqa: F401
+
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    rows = QUERIES["q314_contrastive_triplets"](spark, d).collect()
+    assert len(rows) == 40  # every label has 10 members
+    by_label = {}
+    for i, _, l in vecs:
+        by_label.setdefault(l, []).append(i)
+    heads = {
+        l: min(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for l, ids in by_label.items()
+    }
+    seen = set()
+    for r in rows:
+        assert r.anchor_id not in seen
+        seen.add(r.anchor_id)
+        assert r.positive_id != r.anchor_id
+        assert r.positive_id % 4 == r.anchor_label  # same label (label == id%4)
+        neg_label = (sorted(by_label)[ (sorted(by_label).index(r.anchor_label) + 1) % 4 ])
+        assert r.negative_id == heads[neg_label]
+
+
+def test_hard_negatives_match_numpy_bruteforce(spark, sf_dir):
+    """q315's argmax must equal a float64 numpy brute force on the real
+    corpus (scaled-integer cosine ordering == true cosine ordering
+    except at ties the test corpus doesn't produce)."""
+    import numpy as np
+
+    e = read_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in e}
+    out = {r.anchor_id: r.hard_negative_id for r in QUERIES["q315_hard_negative_mining"](spark, sf_dir).collect()}
+    assert len(out) == 20
+    for a in range(20):
+        va, la = vecs[a]
+        best, best_cos = None, -2.0
+        for c, (vc, lc) in vecs.items():
+            if lc == la:
+                continue
+            cos = float(va @ vc / (np.linalg.norm(va) * np.linalg.norm(vc)))
+            if cos > best_cos + 1e-12 or (abs(cos - best_cos) <= 1e-12 and c < best):
+                best, best_cos = c, cos
+        assert out[a] == best, (a, out[a], best)
+
+
+def test_bootstrap_weights_follow_pmf(spark, sf_dir):
+    """q332's replicate effective sizes must hover around n (Poisson(1)
+    mean 1): each replicate's n_eff within 20% of the order count, and
+    replicate totals are NOT all identical (the weights really vary)."""
+    o = read_table(spark, sf_dir, "orders").count()
+    rows = QUERIES["q332_deterministic_bootstrap"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert abs(r.n_eff - o) < 0.2 * o, (r.replicate, r.n_eff, o)
+    assert len({r.total_rev for r in rows}) > 1
+
+
+def test_custom_source_partition_planning(spark):
+    """q334's source must plan one task per day: reading n_days=4 yields
+    4000 rows across exactly 4 distinct days, deterministically equal on
+    a re-read."""
+    from udacity_datalake_spark_spark.sources.pyds import register
+
+    register(spark)
+    df = spark.read.format("synthevents").option("n_days", "4").load()
+    assert df.rdd.getNumPartitions() == 4
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in spark.read.format("synthevents").option("n_days", "4").load().collect())
+    assert a == b and len(a) == 4000
+
+
+def test_canonical_selection_keeps_longest(spark, tmp_path):
+    """q327 on planted clusters: the canonical member must be the longest
+    document of each near-dup cluster."""
+    base = " ".join(f"c{j}" for j in range(30))
+    rows = []
+    # cluster of three near-dups with increasing length: 10/11/12 tokens + shared core
+    for k in range(3):
+        rows.append((k, base + " " + " ".join(f"x{k}_{j}" for j in range(k + 1)), "s0"))
+    # isolated docs
+    rows += [(10 + i, " ".join(f"z{i}_{j}" for j in range(20)), "s0") for i in range(5)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["q327_canonical_selection"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_members == 3 and r.component == 0
+    assert r.canonical_id == 2, "longest member (doc 2) must be canonical"
