@@ -481,6 +481,9 @@ _WAVE34PLUS_PLAN_BUDGET = {
     # is the declared python table-function path
     "q334_custom_source_rollup": (2, 0, 0, 1),
     "q335_udtf_chunk_spans": (0, 0, 0, 0, True),
+    # wave 56 (round 4)
+    "q336_preference_pairs": (2, 0, 0),
+    "q337_importance_reweighting": (2, 1, 2, 1),
 }
 
 
