@@ -288,7 +288,7 @@ def test_bootstrap_weights_follow_pmf(spark, sf_dir):
     assert len(rows) == 20
     for r in rows:
         assert abs(r.n_eff - o) < 0.2 * o, (r.replicate, r.n_eff, o)
-    assert len({r.total_rev for r in rows}) > 1
+    assert len({r.total_rev_cents for r in rows}) > 1
 
 
 def test_custom_source_partition_planning(spark):

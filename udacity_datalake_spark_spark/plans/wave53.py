@@ -33,8 +33,8 @@ from udacity_datalake_spark_spark.sources.readers import read_table
            count(*) AS n,
            CAST(count(DISTINCT CAST(json_extract_string(doc, '$.user') AS BIGINT))
                 AS BIGINT) AS n_users,
-           CAST(sum(CAST(json_extract_string(doc, '$.val') AS DECIMAL(18,2)))
-                AS DECIMAL(28,2)) AS total_val
+           CAST(sum(CAST(json_extract_string(doc, '$.val') AS DECIMAL(18,2))) * 100
+                AS BIGINT) AS total_val_cents
     FROM env
     GROUP BY 1
     """,
@@ -78,7 +78,7 @@ def q328_variant_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct("user").alias("n_users"),
-            F.sum("val").cast("decimal(28,2)").alias("total_val"),
+            (F.sum("val") * 100).cast("long").alias("total_val_cents"),
         )
     )
 
@@ -191,7 +191,7 @@ def q329_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(dow AS INT) AS dow,
            count(*) AS n_days,
            round(sum(ratio_sc) / 1e10 / count(*), 6) AS seasonal_index,
-           CAST(sum(rev) AS DECIMAL(28,2)) AS total_rev
+           CAST(sum(rev) * 100 AS BIGINT) AS total_rev_cents
     FROM ratios
     GROUP BY dow
     ORDER BY dow
@@ -237,13 +237,13 @@ def q330_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ratio_sc") / 1e10 / F.count(F.lit(1)), 6).alias(
                 "seasonal_index"
             ),
-            F.sum("rev").cast("decimal(28,2)").alias("total_rev"),
+            (F.sum("rev") * 100).cast("long").alias("total_rev_cents"),
         )
         .orderBy("dow")
         .select(
             F.col("dow").cast("int").alias("dow"),
             "n_days",
             "seasonal_index",
-            "total_rev",
+            "total_rev_cents",
         )
     )

@@ -48,7 +48,7 @@ N_FOLDS = 5
     SELECT CAST(fold AS BIGINT) AS fold,
            CAST(n_in AS BIGINT) AS n_in,
            CAST(t.n_all - n_in AS BIGINT) AS n_out,
-           CAST(t.sum_all - sum_in AS DECIMAL(28,2)) AS sum_out,
+           CAST((t.sum_all - sum_in) * 100 AS BIGINT) AS sum_out_cents,
            round(CAST(t.sum_all - sum_in AS DOUBLE) / (t.n_all - n_in), 6)
                AS mean_out
     FROM per_fold CROSS JOIN tot t
@@ -87,9 +87,9 @@ def q331_jackknife_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fold").cast("long").alias("fold"),
             F.col("n_in").cast("long").alias("n_in"),
             (F.col("n_all") - F.col("n_in")).cast("long").alias("n_out"),
-            (F.col("sum_all") - F.col("sum_in"))
-            .cast("decimal(28,2)")
-            .alias("sum_out"),
+            ((F.col("sum_all") - F.col("sum_in")) * 100)
+            .cast("long")
+            .alias("sum_out_cents"),
             F.round(
                 (F.col("sum_all") - F.col("sum_in")).cast("double")
                 / (F.col("n_all") - F.col("n_in")),
@@ -127,7 +127,7 @@ def _poisson_weight_sql(h: str) -> str:
     )
     SELECT CAST(r AS BIGINT) AS replicate,
            CAST(sum(w) AS BIGINT) AS n_eff,
-           CAST(sum(w * price) AS DECIMAL(28,2)) AS total_rev
+           CAST(sum(w * price) * 100 AS BIGINT) AS total_rev_cents
     FROM weighted
     GROUP BY r
     ORDER BY r
@@ -171,10 +171,10 @@ def q332_deterministic_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.groupBy("r")
         .agg(
             F.sum("w").cast("long").alias("n_eff"),
-            F.sum(F.col("w") * F.col("price")).cast("decimal(28,2)").alias("total_rev"),
+            (F.sum(F.col("w") * F.col("price")) * 100).cast("long").alias("total_rev_cents"),
         )
         .orderBy("r")
-        .select(F.col("r").cast("long").alias("replicate"), "n_eff", "total_rev")
+        .select(F.col("r").cast("long").alias("replicate"), "n_eff", "total_rev_cents")
     )
 
 
