@@ -484,6 +484,9 @@ _WAVE34PLUS_PLAN_BUDGET = {
     # wave 56 (round 4)
     "q336_preference_pairs": (2, 0, 0),
     "q337_importance_reweighting": (2, 1, 2, 1),
+    # wave 57 (round 4)
+    "q338_label_confusability": (3, 0, 0),
+    "q339_nb_logodds_terms": (2, 1, 2),
 }
 
 
