@@ -77,11 +77,22 @@ def explode_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     """(id, shingle) pairs — the input layout for Jaccard / MinHash joins.
 
     The shingle transform is the CPU-dominant stage of every dedup path,
-    so it is spread() to full parallelism before the per-row work."""
-    return (
-        spread(df)
-        .where(F.size(tokens(text_col)) >= n)
-        .select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+    so it is spread() to full parallelism before the per-row work, and
+    the token array is MATERIALIZED as a column before the gram lambda —
+    referencing ``split(text)`` inside ``transform`` re-evaluates the
+    split per element (the q309 lesson; ~30% on this stage even at short
+    doc lengths, and O(tokens²) on long ones)."""
+    base = spread(df).withColumn("__toks", tokens(text_col)).where(
+        F.size("__toks") >= n
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+    )
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " ")
+    )
+    return base.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
