@@ -487,6 +487,9 @@ _WAVE34PLUS_PLAN_BUDGET = {
     # wave 57 (round 4)
     "q338_label_confusability": (3, 0, 0),
     "q339_nb_logodds_terms": (2, 1, 2),
+    # wave 58 (round 4)
+    "q340_dedup_savings_forecast": (2, 0, 0, 1),
+    "q341_threshold_sweep": (6, 0, 2, 1),
 }
 
 

@@ -58,11 +58,19 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
+def ngram_jaccard_components(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard ≥ threshold),
-    via prefix filtering (AllPairs / PPJoin candidate generation).
+    """Candidate pairs with their exact integer Jaccard components —
+    (d1, d2, __sz1, __sz2, __inter) for every prefix-filter candidate at
+    ``threshold`` — BEFORE the admission filter.  ``ngram_jaccard_pairs``
+    applies the float Jaccard cut on top; callers that sweep multiple
+    cutoffs (q341) or need integer cross-multiplied admission use the
+    components directly (one candidate pass, any number of cuts ≥ the
+    generation threshold).
+
+    Exact n-gram Jaccard near-dup candidates via prefix filtering
+    (AllPairs / PPJoin candidate generation).
 
     A naive shingle self-join materializes Σ_s cnt(s)² pair-rows — at a
     repetitive corpus the common shingles make that quadratic in corpus
@@ -134,7 +142,6 @@ def ngram_jaccard_pairs(
     # exact verify on candidates only: two equi-joins pull in the shingle
     # arrays, array_intersect counts true overlap — all codegen, no
     # exploded aggregate
-    jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
     return (
         cand.join(arrs.select(F.col(id_col).alias("d1"), F.col("__arr").alias("__a1")), "d1")
         .join(arrs.select(F.col(id_col).alias("d2"), F.col("__arr").alias("__a2")), "d2")
@@ -145,8 +152,22 @@ def ngram_jaccard_pairs(
             "__sz2",
             F.size(F.array_intersect("__a1", "__a2")).alias("__inter"),
         )
-        .select("d1", "d2", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard ≥ threshold):
+    ``ngram_jaccard_components`` candidates with the exact Jaccard test as
+    the sole admission criterion — the prefix-filter rewrite changes
+    cost, never results."""
+    comp = ngram_jaccard_components(df, id_col, text_col, n, threshold)
+    jac = F.col("__inter").cast("double") / (
+        F.col("__sz1") + F.col("__sz2") - F.col("__inter")
+    )
+    return comp.select("d1", "d2", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
 
 
