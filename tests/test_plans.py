@@ -490,6 +490,9 @@ _WAVE34PLUS_PLAN_BUDGET = {
     # wave 58 (round 4)
     "q340_dedup_savings_forecast": (2, 0, 0, 1),
     "q341_threshold_sweep": (6, 0, 2, 1),
+    # wave 59 (round 4)
+    "q342_leaderboard_churn": (9, 0, 0, 1),
+    "q343_join_cardinality_estimate": (2, 2, 2),
 }
 
 
