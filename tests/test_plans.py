@@ -493,6 +493,10 @@ _WAVE34PLUS_PLAN_BUDGET = {
     # wave 59 (round 4)
     "q342_leaderboard_churn": (9, 0, 0, 1),
     "q343_join_cardinality_estimate": (2, 2, 2),
+    # wave 60 (round 4); q345's BNLJ/single entries are the broadcast
+    # 1-row high-water-mark frame fanned into its three scans
+    "q344_restatement_audit": (1, 0, 0, 1),
+    "q345_freshness_monitor": (3, 3, 6, 1),
 }
 
 
