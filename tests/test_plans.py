@@ -497,6 +497,9 @@ _WAVE34PLUS_PLAN_BUDGET = {
     # 1-row high-water-mark frame fanned into its three scans
     "q344_restatement_audit": (1, 0, 0, 1),
     "q345_freshness_monitor": (3, 3, 6, 1),
+    # wave 61 (round 4)
+    "q346_conversion_window": (2, 1, 0),
+    "q347_embedding_covariance": (1, 0, 0, 1),
 }
 
 
