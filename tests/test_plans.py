@@ -500,6 +500,9 @@ _WAVE34PLUS_PLAN_BUDGET = {
     # wave 61 (round 4)
     "q346_conversion_window": (2, 1, 0),
     "q347_embedding_covariance": (1, 0, 0, 1),
+    # wave 62 (round 4)
+    "q348_mergeable_quantiles": (4, 0, 0, 1),
+    "q349_duplicate_payments": (2, 1, 0),
 }
 
 
