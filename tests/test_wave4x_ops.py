@@ -321,3 +321,71 @@ def test_canonical_selection_keeps_longest(spark, tmp_path):
     r = out[0]
     assert r.n_members == 3 and r.component == 0
     assert r.canonical_id == 2, "longest member (doc 2) must be canonical"
+
+
+def test_restatement_v1_never_exceeds_v2(spark, sf_dir):
+    """q344: the first-published number can only go UP when stragglers
+    land (all cents are positive), and the restated share must be
+    roughly the straggler tag rate (~10%, md5-derived)."""
+    rows = QUERIES["q344_restatement_audit"](spark, sf_dir).collect()
+    assert rows
+    total_v1 = sum(r.v1_cents for r in rows)
+    total_v2 = sum(r.v2_cents for r in rows)
+    for r in rows:
+        assert r.v1_cents <= r.v2_cents
+        assert r.restated_cents == r.v2_cents - r.v1_cents
+    share = (total_v2 - total_v1) / total_v2
+    assert 0.03 < share < 0.25, share
+
+
+def test_binned_quantile_bounds_on_random_data(spark, tmp_path):
+    """q348's structural guarantees must hold on adversarial random
+    values too — heavy-tailed draws with ties, landing across bins."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = []
+    eid = 0
+    for t in ("a", "b", "c"):
+        vals = np.round(rng.pareto(1.5, 800) * 30 + 0.5, 2)
+        for v in vals:
+            rows.append((eid, t, int(eid % 50), float(v)))
+            eid += 1
+    d = str(tmp_path / "fx")
+    spark.createDataFrame(
+        [(i, t, u, None, v) for i, t, u, v in rows],
+        "event_id long, event_type string, user_id long, ts timestamp, value double",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = QUERIES["q348_mergeable_quantiles"](spark, d).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.bin_contains_exact, r
+        assert r.within_half_bin, r
+
+
+def test_duplicate_payments_planted(spark, tmp_path):
+    """q349 on planted double-charges: two same-amount purchases 2 min
+    apart flag once; same amount 2 days apart does not."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: double-charge (2 minutes apart, same cents)
+        (1, "purchase", 1, base, 10.00),
+        (2, "purchase", 1, base + dt.timedelta(minutes=2), 10.00),
+        # user 2: same amount, 2 days apart — NOT a dup
+        (3, "purchase", 2, base, 5.00),
+        (4, "purchase", 2, base + dt.timedelta(days=2), 5.00),
+        # user 3: different amounts 1 minute apart — NOT a dup
+        (5, "purchase", 3, base, 7.00),
+        (6, "purchase", 3, base + dt.timedelta(minutes=1), 8.00),
+    ]
+    d = str(tmp_path / "fx")
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = QUERIES["q349_duplicate_payments"](spark, d).first()
+    assert r.n_payments == 6
+    assert r.n_suspect == 1
+    assert r.n_users_flagged == 1
+    assert r.suspect_cents == 1000

@@ -113,21 +113,21 @@ EST_BUCKETS = 64
     "q343_join_cardinality_estimate",
     oracle="""
     WITH lh AS (
-        SELECT (ascii(substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) * 256
+        SELECT (ascii(substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) * 47
                 + ascii(substring(md5(CAST(l_orderkey AS VARCHAR)), 2, 1))) % 64
                    AS b,
                count(*) AS n
         FROM lineitem GROUP BY 1
     ),
     oh AS (
-        SELECT (ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 256
+        SELECT (ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 47
                 + ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 64
                    AS b,
                count(*) AS n
         FROM orders GROUP BY 1
     ),
     keys AS (
-        SELECT (ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 256
+        SELECT (ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 47
                 + ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 64
                    AS b,
                count(*) AS nd
@@ -165,8 +165,10 @@ def q343_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
 
     def bucket(col):
         m = F.md5(col.cast("string"))
+        # 47 is odd/coprime with 64, so BOTH hex chars contribute to the
+        # bucket (a*256 mod 64 would vanish, leaving 16 effective buckets)
         return (
-            F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1))
+            F.ascii(F.substring(m, 1, 1)) * 47 + F.ascii(F.substring(m, 2, 1))
         ) % EST_BUCKETS
 
     lh = li.groupBy(bucket(F.col("l_orderkey")).alias("b")).agg(

@@ -29,8 +29,9 @@ LATE_PERMILLE = 100
         SELECT CAST(ts AS DATE) AS d,
                CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
                    AS cents,
-               (ascii(substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) * 256
-                + ascii(substring(md5(CAST(event_id AS VARCHAR)), 2, 1)))
+               (ascii(substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) * 4096
+                + ascii(substring(md5(CAST(event_id AS VARCHAR)), 2, 1)) * 64
+                + ascii(substring(md5(CAST(event_id AS VARCHAR)), 3, 1)))
                    % 1000 < {LATE_PERMILLE} AS is_late
         FROM events WHERE event_type = 'purchase'
     ),
@@ -65,8 +66,15 @@ def q344_restatement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents throughout."""
     e = read_table(spark, sf_dir, "events", columns=["event_id", "event_type", "ts", "value"])
     m = F.md5(F.col("event_id").cast("string"))
+    # three position-weighted hex chars: two ascii codes alone cover too
+    # few residues mod 1000 to ever land under the permille cut
     is_late = (
-        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1))) % 1000
+        (
+            F.ascii(F.substring(m, 1, 1)) * 4096
+            + F.ascii(F.substring(m, 2, 1)) * 64
+            + F.ascii(F.substring(m, 3, 1))
+        )
+        % 1000
         < LATE_PERMILLE
     )
     tagged = e.where(F.col("event_type") == "purchase").select(
