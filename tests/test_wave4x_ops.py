@@ -389,3 +389,101 @@ def test_duplicate_payments_planted(spark, tmp_path):
     assert r.n_suspect == 1
     assert r.n_users_flagged == 1
     assert r.suspect_cents == 1000
+
+
+def _plant_events_and_compare(spark, tmp_path, qname, rows):
+    """Write a planted events.parquet, run the registry query AND its
+    DuckDB oracle twin on the same fixture, and assert exact parity.
+
+    This makes the time-arithmetic oracle gates NON-vacuous: the driver
+    fixtures contain no near-boundary pairs, so a second-truncation vs
+    fractional-epoch divergence (the round-4 ADVICE class) would pass
+    the driver gate silently.  Here the boundary rows exist by
+    construction."""
+    import duckdb
+
+    from udacity_datalake_spark_spark.plans import ORACLE_SQL
+    from tests.oracle import assert_frames_match
+
+    d = str(tmp_path / "fx")
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    spark_pdf = QUERIES[qname](spark, d).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    oracle_pdf = con.sql(ORACLE_SQL[qname]).df()
+    assert_frames_match(spark_pdf, oracle_pdf)
+    return spark_pdf
+
+
+def test_time_boundary_oracle_parity(spark, tmp_path):
+    """Sub-second-straddling gaps around every window boundary the
+    ADVICE flagged: 5-min dup window (q349), 24-h conversion window
+    (q346), 30-min session gap (q329), minute-floor staleness (q345).
+    Each plants a pair whose true gap differs from its second-truncated
+    gap on which side of the boundary it lands; Spark and the DuckDB
+    oracle must agree exactly."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0, 400_000)  # .4s fraction
+
+    # q349: same user+amount, gaps 299.8s (dup), 300.3s (NOT dup — but a
+    # second-floor diff would say 300 <= 300 and flag it), 300.9s.
+    rows = [
+        (1, "purchase", 1, base, 10.00),
+        (2, "purchase", 1, base + dt.timedelta(seconds=299, microseconds=800_000), 10.00),
+        (3, "purchase", 2, base, 5.00),
+        (4, "purchase", 2, base + dt.timedelta(seconds=300, microseconds=300_000), 5.00),
+        (5, "purchase", 3, base, 7.00),
+        (6, "purchase", 3, base + dt.timedelta(seconds=300, microseconds=900_000), 7.00),
+    ]
+    pdf = _plant_events_and_compare(spark, tmp_path, "q349_duplicate_payments", rows)
+    assert int(pdf.n_suspect.iloc[0]) == 1  # only the 299.8s pair
+
+    # q346: view→purchase gaps 86399.8s (converts), 86400.3s (does not,
+    # though the floored diff is exactly 86400).
+    rows = [
+        (1, "view", 1, base, None),
+        (2, "purchase", 1, base + dt.timedelta(seconds=86399, microseconds=800_000), 3.0),
+        (3, "view", 2, base, None),
+        (4, "purchase", 2, base + dt.timedelta(seconds=86400, microseconds=300_000), 3.0),
+    ]
+    pdf = _plant_events_and_compare(spark, tmp_path, "q346_conversion_window", rows)
+    assert int(pdf.n_converted.iloc[0]) == 1
+
+    # q329: events 1799.7s then 1800.4s apart — the second gap crosses
+    # the 30-min session boundary only in fractional arithmetic.
+    rows = [
+        (1, "view", 1, base, None),
+        (2, "click", 1, base + dt.timedelta(seconds=1799, microseconds=700_000), None),
+        (3, "view", 1, base + dt.timedelta(seconds=3600, microseconds=100_000), None),
+        (4, "click", 1, base + dt.timedelta(seconds=3600, microseconds=200_000), None),
+        (5, "purchase", 1, base + dt.timedelta(seconds=3600, microseconds=300_000), 1.0),
+    ]
+    pdf = _plant_events_and_compare(spark, tmp_path, "q329_session_trigrams", rows)
+    # second session holds the only trigram (view,click,purchase)
+    assert len(pdf) == 1 and pdf.n.iloc[0] == 1
+
+    # q345: type 'b' max is 90.7s older than global max — floor to 1
+    # minute; truncated-seconds arithmetic would compute floor(90/60)=1
+    # too, so ALSO plant 119.8s (fractional floor 1, truncated floor 1)
+    # and 60.2s (fractional 1, truncated-diff floor(60/60)=1)... the
+    # discriminating case: global max has .4s, type max has .9s →
+    # truncated diff overstates by 1s across a minute boundary.
+    rows = [
+        (1, "view", 1, base + dt.timedelta(seconds=500), None),
+        (2, "click", 1, base + dt.timedelta(seconds=500 - 60, microseconds=100_000), None),
+        (3, "view", 2, base, None),
+        (4, "click", 2, base + dt.timedelta(seconds=100), None),
+        # trailing-week volume rows so the trail7 inner join is non-empty
+        (5, "view", 3, base - dt.timedelta(days=3), None),
+        (6, "click", 3, base - dt.timedelta(days=3, seconds=50), None),
+        (7, "view", 4, base - dt.timedelta(days=5), None),
+        (8, "click", 4, base - dt.timedelta(days=5, seconds=50), None),
+    ]
+    pdf = _plant_events_and_compare(spark, tmp_path, "q345_freshness_monitor", rows)
+    stale = {r.event_type: int(r.staleness_minutes) for r in pdf.itertuples()}
+    # click max = base+440.1s, view max (global) = base+500s → gap 59.9s
+    # → 0 minutes fractionally; truncated diff would give floor(60/60)=1.
+    assert stale == {"view": 0, "click": 0}

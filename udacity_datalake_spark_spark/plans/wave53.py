@@ -91,7 +91,7 @@ SESSION_GAP_MIN = 30
     oracle=f"""
     WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN * 60 * 1_000_000}
                          OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -141,8 +141,8 @@ def q329_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_session = F.when(
         F.lag("ts").over(w).isNull()
         | (
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-            > SESSION_GAP_MIN * 60
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > SESSION_GAP_MIN * 60 * 1_000_000
         ),
         1,
     ).otherwise(0)

@@ -136,7 +136,8 @@ def q344_restatement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY e.event_type
     )
     SELECT p.event_type,
-           CAST(floor(epoch(b.global_max - p.type_max) / 60) AS BIGINT)
+           CAST(floor((epoch_us(b.global_max) - epoch_us(p.type_max))
+                      / 60000000) AS BIGINT)
                AS staleness_minutes,
            p.type_max <= b.global_max AS fresh_within_1d,
            ld.n_last,
@@ -191,10 +192,8 @@ def q345_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.floor(
-                (
-                    F.unix_timestamp("global_max") - F.unix_timestamp("type_max")
-                )
-                / 60
+                (F.unix_micros("global_max") - F.unix_micros("type_max"))
+                / 60_000_000
             )
             .cast("long")
             .alias("staleness_minutes"),

@@ -37,16 +37,16 @@ CONVERT_HOURS = 24
     )
     SELECT CAST(count(*) AS BIGINT) AS n_views,
            CAST(count(CASE WHEN next_purchase_ts IS NOT NULL
-                       AND epoch(next_purchase_ts - ts)
-                           <= {CONVERT_HOURS} * 3600 THEN 1 END) AS BIGINT)
+                       AND epoch_us(next_purchase_ts) - epoch_us(ts)
+                           <= {CONVERT_HOURS * 3600 * 1_000_000} THEN 1 END) AS BIGINT)
                AS n_converted,
            CAST(count(DISTINCT CASE WHEN next_purchase_ts IS NOT NULL
-                       AND epoch(next_purchase_ts - ts)
-                           <= {CONVERT_HOURS} * 3600 THEN user_id END) AS BIGINT)
+                       AND epoch_us(next_purchase_ts) - epoch_us(ts)
+                           <= {CONVERT_HOURS * 3600 * 1_000_000} THEN user_id END) AS BIGINT)
                AS n_converting_users,
            round(count(CASE WHEN next_purchase_ts IS NOT NULL
-                       AND epoch(next_purchase_ts - ts)
-                           <= {CONVERT_HOURS} * 3600 THEN 1 END)
+                       AND epoch_us(next_purchase_ts) - epoch_us(ts)
+                           <= {CONVERT_HOURS * 3600 * 1_000_000} THEN 1 END)
                  / CAST(count(*) AS DOUBLE), 6) AS conversion_rate
     FROM nxt WHERE kind = 0
     """,
@@ -81,8 +81,8 @@ def q346_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("kind") == 1, F.col("ts"))).over(w),
     )
     converted = F.col("next_purchase_ts").isNotNull() & (
-        F.unix_timestamp("next_purchase_ts") - F.unix_timestamp("ts")
-        <= CONVERT_HOURS * 3600
+        F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
+        <= CONVERT_HOURS * 3600 * 1_000_000
     )
     return nxt.where(F.col("kind") == 0).agg(
         F.count(F.lit(1)).cast("long").alias("n_views"),

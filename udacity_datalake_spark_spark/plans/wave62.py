@@ -182,7 +182,8 @@ DUP_WINDOW_MIN = 5
     flagged AS (
         SELECT user_id, cents,
                CASE WHEN prev_ts IS NOT NULL
-                         AND epoch(ts - prev_ts) <= {DUP_WINDOW_MIN} * 60
+                         AND epoch_us(ts) - epoch_us(prev_ts)
+                             <= {DUP_WINDOW_MIN} * 60 * 1000000
                     THEN 1 ELSE 0 END AS is_dup
         FROM lagged
     )
@@ -217,11 +218,14 @@ def q349_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id", "cents").orderBy("ts", "event_id")
     lagged = pay.withColumn("prev_ts", F.lag("ts").over(w))
+    # Exact microsecond arithmetic (unix_micros / epoch_us) — second-floor
+    # unix_timestamp diverges from the oracle's fractional epoch() on gaps
+    # that straddle the window boundary by sub-second amounts.
     is_dup = F.when(
         F.col("prev_ts").isNotNull()
         & (
-            F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
-            <= DUP_WINDOW_MIN * 60
+            F.unix_micros("ts") - F.unix_micros("prev_ts")
+            <= DUP_WINDOW_MIN * 60 * 1_000_000
         ),
         1,
     ).otherwise(0)
