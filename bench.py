@@ -98,6 +98,15 @@ HEADLINE = [
     "q309_bloom_decontamination",
     "q311_exact_substring_spans",
     "q314_contrastive_triplets",
+    # round-5 additions (waves 49-62): graph link prediction, held-out
+    # LM eval, GDPR erasure audit, custom Python DataSource, mergeable
+    # binned quantiles, deadline-bounded conversion attribution
+    "q319_link_prediction",
+    "q320_heldout_perplexity",
+    "q326_erasure_audit",
+    "q334_custom_source_rollup",
+    "q348_mergeable_quantiles",
+    "q346_conversion_window",
 ]
 
 

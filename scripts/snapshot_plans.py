@@ -54,9 +54,16 @@ def plan_shape(df) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    subs = sys.argv[2:]
     spark = get_session(app_name="plan-snapshot")
     shapes: dict[str, dict] = {}
-    for name in sorted(QUERIES):
+    if subs:  # partial refresh: keep existing entries, re-plan matches only
+        with open(OUT) as fh:
+            shapes = json.load(fh)
+    names = [
+        n for n in sorted(QUERIES) if not subs or any(s in n for s in subs)
+    ]
+    for name in names:
         t0 = time.perf_counter()
         try:
             shapes[name] = plan_shape(QUERIES[name](spark, sf_dir))

@@ -331,3 +331,21 @@ def test_tolerant_json_quarantines_bad_lines(spark, tmp_path):
     assert sorted(r.id for r in good.collect()) == [1, 2]
     assert bad.count() == 1 and "BROKEN" in bad.first()._corrupt_record
     df.unpersist()
+
+
+def test_readme_query_range_matches_registry():
+    """Doc-drift guard (round-5 VERDICT #8): README's stated query range
+    must match the registry — a new wave that forgets the doc update
+    fails here with the expected range named."""
+    import re
+
+    from udacity_datalake_spark_spark.plans import QUERIES
+
+    text = open("/root/repo/README.md").read()
+    m = re.search(r"q0?1[–-]q(\d+)", text)
+    assert m, "README.md no longer states the qNN–qNN registry range"
+    last = max(int(re.match(r"q(\d+)_", n).group(1)) for n in QUERIES)
+    assert int(m.group(1)) == last, (
+        f"README says q01–q{m.group(1)} but the registry ends at q{last} "
+        f"({len(QUERIES)} queries) — update README.md"
+    )

@@ -26,8 +26,14 @@ def test_minhash_lsh_equals_exact(spark, sf_dir):
 
 
 def test_simhash_recovers_planted_pairs(spark, sf_dir):
+    from udacity_datalake_spark_spark.operators.dedup import simhash_near_pairs
+
     planted = _planted_pairs(spark, sf_dir)
-    sim_pairs = {(r.d1, r.d2) for r in QUERIES["q47_simhash"](spark, sf_dir).collect()}
+    d = read_table(spark, sf_dir, "documents")
+    sim_pairs = {
+        (r.d1, r.d2)
+        for r in simhash_near_pairs(d, "doc_id", "text", max_hamming=7).collect()
+    }
     # word-level near-dups differ in a few tokens → small (not zero)
     # Hamming gap; the radius-7 banding recovers the bulk of them
     recovered = planted & sim_pairs
@@ -37,8 +43,14 @@ def test_simhash_recovers_planted_pairs(spark, sf_dir):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    from udacity_datalake_spark_spark.operators.similarity import hyperplane_lsh_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
     exact = QUERIES["q48_embedding_topk"](spark, sf_dir).collect()
-    approx = QUERIES["q49_ann_lsh"](spark, sf_dir).collect()
+    approx = hyperplane_lsh_topk(
+        emb, queries, k=5, n_tables=16, bits_per_table=4
+    ).collect()
     exact_set = {(r.qid, r.nid) for r in exact}
     approx_set = {(r.qid, r.nid) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -93,8 +105,12 @@ def test_resize_payload_batch_shape(spark, sf_dir):
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     from udacity_datalake_spark_spark.plans import QUERIES
 
+    from udacity_datalake_spark_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
     exact = QUERIES["q48_embedding_topk"](spark, sf_dir).collect()
-    approx = QUERIES["q60_ann_ivf"](spark, sf_dir).collect()
+    approx = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
     exact_set = {(r.qid, r.nid) for r in exact}
     approx_set = {(r.qid, r.nid) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -102,7 +118,10 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     # deliberately conservative — determinism matters more than the value
     assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
     # determinism: second run identical
-    approx2 = {(r.qid, r.nid) for r in QUERIES["q60_ann_ivf"](spark, sf_dir).collect()}
+    approx2 = {
+        (r.qid, r.nid)
+        for r in ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    }
     assert approx_set == approx2
 
 

@@ -12,6 +12,10 @@ from udacity_datalake_spark_spark.operators.multimodal import (
     sample_frames,
     with_binary_payload,
 )
+from udacity_datalake_spark_spark.operators.invariants import (
+    ann_invariants,
+    hamming_pair_invariants,
+)
 from udacity_datalake_spark_spark.operators.similarity import (
     cosine_topk,
     hyperplane_lsh_topk,
@@ -55,18 +59,44 @@ def q48_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
-@query("q49_ann_lsh")  # approximate by design → rows-only; recall tested vs q48
+_ANN_INVARIANT_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           TRUE AS per_query_at_most_k,
+           TRUE AS ranks_contiguous,
+           TRUE AS sims_are_exact_cosines,
+           TRUE AS recall_ge_floor,
+           TRUE AS deterministic
+    FROM embeddings WHERE vec_id < 5
+"""
+
+
+@query("q49_ann_lsh", oracle=_ANN_INVARIANT_ORACLE)
 def q49_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH (16 tables × 4 bits,
     fixed seed): candidates from bucket equi-joins only, exact cosine
     re-rank on candidates.  Few bits per table because these gaussian
     embeddings have weak neighbors (cos≈0.4 → per-bit agreement ≈0.6);
     clustered production embeddings would take 8-16 bits per table and
-    proportionally smaller candidate sets.  No SQL oracle (approximate);
-    tests bound recall against the exact q48."""
+    proportionally smaller candidate sets.
+
+    Reported as its oracle-checkable invariants (the q103 pattern — the
+    raw top-k set is approximate by construction and the hash bits are
+    engine-specific): n_queries pinned to the input count, output
+    structure booleans, every emitted sim re-verified against the exact
+    cosine, recall ≥ 0.5 vs the exact q48 twin computed in-frame, and a
+    two-run determinism signature.  The raw (qid, nid, sim, rank) frame
+    stays available via operators.similarity.hyperplane_lsh_topk and its
+    planted-recall tests."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return hyperplane_lsh_topk(emb, queries, k=5, n_tables=16, bits_per_table=4)
+    return ann_invariants(
+        emb,
+        queries,
+        lambda: hyperplane_lsh_topk(emb, queries, k=5, n_tables=16, bits_per_table=4),
+        exact=cosine_topk(emb, queries, k=5),
+        k=5,
+        recall_floor=0.5,
+    )
 
 
 @query(
@@ -151,26 +181,55 @@ def q57_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(with_binary_payload(d), id_col="doc_id")
 
 
-@query("q60_ann_ivf")  # approximate by design → rows-only; recall tested vs q48
+@query("q60_ann_ivf", oracle=_ANN_INVARIANT_ORACLE)
 def q60_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN (16 cells, probe 4, seeded k-means coarse quantizer
     fit on a bounded sample): the data-adapted complement of q49's
     hyperplane LSH.  Assignment is one Arrow-batched matmul over the
-    corpus; search touches ~n_probe/n_cells of it."""
+    corpus; search touches ~n_probe/n_cells of it.
+
+    Invariant-frame output (see q49): oracle-pinned n_queries, structural
+    booleans, exact-cosine sim verification, in-frame recall ≥ 0.4 vs the
+    exact twin (probing 4/16 cells on weak-neighbor gaussians — the floor
+    is deliberately conservative), two-run determinism.  Raw top-k via
+    operators.similarity.ivf_topk."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    return ann_invariants(
+        emb,
+        queries,
+        lambda: ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4),
+        exact=cosine_topk(emb, queries, k=5),
+        k=5,
+        recall_floor=0.4,
+    )
 
 
-@query("q148_media_phash_pairs")  # signature is engine-defined → rows-only check
+@query(
+    "q148_media_phash_pairs",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS pairs_within_radius,
+           TRUE AS pairs_canonical_distinct,
+           TRUE AS expected_pairs_recovered,
+           TRUE AS deterministic
+    FROM documents
+    """,
+)
 def q148_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup dedup: perceptual-hash (aHash-style 64-bit
     signature over the binary payload, Arrow-batched) + the same
     pigeonhole Hamming band join text SimHash uses — the image/audio
     twin of q47.  Payload bytes reduce to 8-byte signatures BEFORE any
-    exchange, so the pair join shuffles signatures, never media.  Rows-
-    only driver check (the signature recipe is engine-defined);
-    determinism and identical-payload behavior are unit-tested."""
+    exchange, so the pair join shuffles signatures, never media.
+
+    Invariant-frame output (the q103 pattern — the signature recipe is
+    engine-defined, so the raw pair set has no SQL twin): n_docs pinned
+    to the corpus count, Hamming-radius and canonical-pair booleans, the
+    must-hit contract that every identical-payload pair (identical bytes
+    → identical signature → guaranteed band collision) is recovered, and
+    a two-run determinism signature.  Raw pairs via
+    operators.dedup.hamming_band_pairs over perceptual_hash64."""
     from udacity_datalake_spark_spark.operators.dedup import hamming_band_pairs
     from udacity_datalake_spark_spark.operators.multimodal import (
         perceptual_hash64,
@@ -179,7 +238,22 @@ def q148_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     sig = perceptual_hash64(with_binary_payload(d), id_col="doc_id")
+    # must-hit pairs: identical payload bytes (md5 self-join, canonical)
+    dig = d.select("doc_id", F.md5("text").alias("__dg"))
+    expected = (
+        dig.alias("a")
+        .join(dig.alias("b"), "__dg")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+
     # radius 10 (11 bands of 5 bits): text-derived payloads are "far" in
     # aHash space unless truly near-identical — a thumbnail pipeline
     # would use its domain's radius with the same band algebra
-    return hamming_band_pairs(sig, "doc_id", "phash", max_hamming=10)
+    return hamming_pair_invariants(
+        d,
+        lambda: hamming_band_pairs(sig, "doc_id", "phash", max_hamming=10),
+        max_hamming=10,
+        count_alias="n_docs",
+        expected_pairs=expected,
+    )

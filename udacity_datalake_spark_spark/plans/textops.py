@@ -201,16 +201,50 @@ def q46_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.6)
 
 
-@query("q47_simhash")  # xxhash64 bit patterns are Spark-specific → rows-only
+@query(
+    "q47_simhash",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS pairs_within_radius,
+           TRUE AS pairs_canonical_distinct,
+           TRUE AS expected_pairs_recovered,
+           TRUE AS deterministic
+    FROM documents
+    """,
+)
 def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) near-dup pairs within Hamming distance 7, banded by the
     pigeonhole chunking (8 chunks × 8 bits).  Word-level near-dups vote a
     handful of bits differently, so the radius is wider than byte-level
-    simhash deployments.  No SQL oracle — the hash function is
-    engine-specific; tests assert the planted near-dup pairs are recovered
-    (tests/test_llm_ops.py)."""
+    simhash deployments.
+
+    Invariant-frame output (the q103 pattern — the xxhash64 bit patterns
+    are Spark-specific, so the raw pair set has no SQL twin): n_docs
+    pinned to the corpus count, Hamming-radius and canonical-pair
+    booleans, the must-hit contract that every identical-text pair
+    (identical text → identical simhash → guaranteed band collision) is
+    recovered, and a two-run determinism signature.  Raw pairs via
+    operators.dedup.simhash_near_pairs, whose planted-pair recall test
+    (tests/test_llm_ops.py) pins the accuracy on real near-dups."""
+    from udacity_datalake_spark_spark.operators.invariants import (
+        hamming_pair_invariants,
+    )
+
     d = read_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=7)
+    dig = d.select("doc_id", F.md5("text").alias("__dg"))
+    expected = (
+        dig.alias("a")
+        .join(dig.alias("b"), "__dg")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+    return hamming_pair_invariants(
+        d,
+        lambda: simhash_near_pairs(d, "doc_id", "text", max_hamming=7),
+        max_hamming=7,
+        count_alias="n_docs",
+        expected_pairs=expected,
+    )
 
 
 @query(
