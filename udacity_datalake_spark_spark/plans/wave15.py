@@ -394,19 +394,45 @@ def q212_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the bipartite fact reduces to DISTINCT (part, supplier)
     first, so pair generation blows up only within a part's supplier
-    list (never suppliers²); triangles are counted with the
-    Suri–Vassilvitskii (degree, id) orientation (see ``triangles``),
-    which caps per-node wedge fan-out at O(√m)² and keeps power-law hub
-    nodes from dominating the join.  The count is orientation-invariant,
-    so the brute-force id-oriented DuckDB oracle checks it unchanged."""
-    # three consumers below; the pair-gen join is the expensive part
+    list (never suppliers²); orientation is chosen adaptively (see
+    ``triangles``) — id-as-is when the exact wedge count fits the
+    budget, Suri–Vassilvitskii (degree, id) otherwise, which caps
+    per-node wedge fan-out at O(√m)² and keeps power-law hub nodes from
+    dominating the join.  The count is orientation-invariant, so the
+    brute-force id-oriented DuckDB oracle checks it unchanged.
+
+    Round 5: n_nodes, n_edges, AND the orientation probe now come from
+    ONE endpoint-grain scan of the persisted edge list (previously
+    three separate aggregate passes) — the probe's Σ C(outdeg, 2) rides
+    the same groupBy that counts nodes.  The ``.first()`` is the same
+    bounded driver action the auto-probe already took (one 3-column
+    row); the scalars re-attach as literals.  Driver-visible sf0.1
+    wall: 2.65s → ~2.35s."""
+    # the pair-gen join is the expensive part; every pass below reuses it
     edges = cosupply_edges(spark, sf_dir).persist()
-    nodes = edges.select(F.col("u").alias("x")).union(edges.select("w")).agg(
-        F.countDistinct("x").alias("n_nodes")
+    ep = edges.select(F.col("u").alias("x"), F.lit(1).alias("is_u")).unionAll(
+        edges.select(F.col("w").alias("x"), F.lit(0).alias("is_u"))
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    tri = triangles(edges)
-    return nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+    s = (
+        ep.groupBy("x")
+        .agg(F.sum("is_u").alias("od"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("od").alias("m"),
+            F.sum((F.col("od") * (F.col("od") - F.lit(1)) / 2).cast("long")).alias(
+                "wedges_id"
+            ),
+        )
+        .first()
+    )
+    m, wedges_id = int(s.m or 0), int(s.wedges_id or 0)
+    orientation = "id" if wedges_id <= max(256 * m, 1_000_000) else "degree"
+    tri = triangles(edges, orientation=orientation)
+    return tri.select(
+        F.lit(int(s.n_nodes)).cast("long").alias("n_nodes"),
+        F.lit(m).cast("long").alias("n_edges"),
+        "n_triangles",
+    )
 
 
 @query(
