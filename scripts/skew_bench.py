@@ -23,6 +23,15 @@ hot-key skew join: the inflated order stresses the very thing they
 exist for), q45 (PPJoin prefix filter under hot shingles), q301
 (impact-pruned lexical top-k under Zipf postings).
 
+Round 5 adds the embedding path: ``embeddings`` is regenerated as a
+CLUSTERED corpus with one tight mega-cluster holding 30% of vectors
+(one direction cone → one LSH bucket per table, one IVF cell) — the
+adversarial shape for bucketed ANN.  q48 (brute force — skew-neutral
+baseline), q49 (hyperplane LSH), q56 (embedding near-dup), q60 (IVF)
+are sloped on it; ``operators.similarity.lsh_bucket_stats`` plus the
+``max_bucket_rows`` sub-split guard cover the blowup the slope would
+expose (tests/test_llm_ops.py).
+
 Output: one JSON line {"metric": "skew_slopes", "slopes": {...},
 "flagged_ge20x": [...], "small_secs": {...}, "big_secs": {...}} —
 recorded as a table in SCALE.md.
@@ -49,6 +58,11 @@ SKEW_QUERIES = [
     "q109_hot_key_skew_join",
     "q195_curation_pipeline",
     "q301_sparse_cosine_topk",
+    # embedding path (clustered + mega-cluster fixture)
+    "q48_embedding_topk",
+    "q49_ann_lsh",
+    "q56_embedding_near_dup",
+    "q60_ann_ivf",
 ]
 
 VOCAB = 2000
@@ -87,8 +101,28 @@ def build_skewed_documents(n_docs: int, seed: int = 7):
     return rows
 
 
+def build_clustered_embeddings(n_vecs: int, dim: int = 64, seed: int = 11):
+    """Rows (vec_id, embedding, label): 30% of vectors in ONE tight
+    direction cone (sigma 0.02 — same hyperplane sign pattern, same IVF
+    cell), the rest over 7 looser clusters."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((8, dim))
+    centers /= np.sqrt((centers * centers).sum(axis=1, keepdims=True))
+    n_mega = int(0.3 * n_vecs)
+    rows = []
+    for i in range(n_vecs):
+        if i < n_mega:
+            c, sigma = centers[0], 0.02
+        else:
+            c, sigma = centers[1 + i % 7], 0.3
+        v = (c + sigma * rng.standard_normal(dim)).astype("float32")
+        rows.append((i, [float(x) for x in v], int(i >= n_mega)))
+    return rows
+
+
 def build_fixture(spark, base_sf_dir: str, out_dir: str, n_docs: int) -> None:
-    """Skewed documents + hot-key lineitem in out_dir; symlink the rest."""
+    """Skewed documents + hot-key lineitem + clustered embeddings in
+    out_dir; symlink the rest."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -110,6 +144,12 @@ def build_fixture(spark, base_sf_dir: str, out_dir: str, n_docs: int) -> None:
     li.unionByName(hot_rows).coalesce(8).write.mode("overwrite").parquet(
         f"{out_dir}/lineitem.parquet"
     )
+
+    n_vecs = 4 * n_docs  # 2000 @ small, 20000 @ big — 10x like the rest
+    spark.createDataFrame(
+        build_clustered_embeddings(n_vecs),
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(4).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
     for t in os.listdir(base_sf_dir):
         dst = os.path.join(out_dir, t)

@@ -328,3 +328,80 @@ def test_png_decode_rejects_corrupt_crc(spark):
     bad = spark.createDataFrame([(5, bytes(payload))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="CRC mismatch"):
         decode_media(bad, "png").collect()
+
+
+def _clustered_embeddings(spark, n=600, mega_frac=0.3, dim=64, seed=11):
+    """Synthetic clustered corpus: one tight mega-cluster holding
+    mega_frac of vectors (the adversarial ANN shape — a hot direction
+    cone), the rest spread over 7 looser clusters."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((8, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    n_mega = int(n * mega_frac)
+    rows = []
+    for i in range(n):
+        if i < n_mega:
+            c, sigma = centers[0], 0.02  # tight: same sign pattern
+        else:
+            c, sigma = centers[1 + i % 7], 0.3
+        v = c + sigma * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v.astype("float32")], int(i >= n_mega)))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_lsh_bucket_stats_flags_mega_cluster(spark):
+    """The occupancy diagnostic must expose a hot direction cone: a
+    tight cluster holding 30% of vectors shares one sign pattern, so
+    every table reports max_bucket >= the cluster size."""
+    from udacity_datalake_spark_spark.operators.similarity import lsh_bucket_stats
+
+    emb = _clustered_embeddings(spark).persist()
+    stats = lsh_bucket_stats(emb, n_tables=8, bits_per_table=4).collect()
+    assert len(stats) == 8
+    n_mega = int(600 * 0.3)
+    # a plane can slice through even a tight cone, so not EVERY table
+    # keeps the cluster whole — but most do, and the hot tables show the
+    # quadratic fan-out the guard exists to catch
+    hot = [r for r in stats if r.max_bucket >= 0.9 * n_mega]
+    assert len(hot) >= len(stats) // 2, [r.max_bucket for r in stats]
+    for r in hot:
+        assert r.candidate_pairs >= (r.max_bucket * (r.max_bucket - 1)) // 2, r
+
+
+def test_lsh_bucket_cap_bounds_candidates_keeps_recall(spark):
+    """With max_bucket_rows set, oversized buckets sub-split: the
+    candidate fan-out must drop well below the uncapped blowup while
+    genuinely-near pairs (the tight mega-cluster IS mutually near) keep
+    high recall — each table sub-splits differently, so a pair split
+    apart in one table still collides in another."""
+    from udacity_datalake_spark_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = _clustered_embeddings(spark).persist()
+    uncapped = cosine_near_dup_pairs(
+        emb, threshold=0.9, prefilter="lsh", n_tables=8, bits_per_table=4
+    )
+    capped = cosine_near_dup_pairs(
+        emb,
+        threshold=0.9,
+        prefilter="lsh",
+        n_tables=8,
+        bits_per_table=4,
+        max_bucket_rows=60,
+    )
+    exact = cosine_near_dup_pairs(emb, threshold=0.9, prefilter="broadcast")
+    exact_set = {(r.id_a, r.id_b) for r in exact.collect()}
+    capped_set = {(r.id_a, r.id_b) for r in capped.collect()}
+    uncapped_set = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert exact_set, "fixture should contain near pairs"
+    # capped output is a subset of the exact truth (verify step is exact)
+    assert capped_set <= exact_set
+    assert len(capped_set) >= 0.9 * len(uncapped_set & exact_set), (
+        len(capped_set),
+        len(uncapped_set & exact_set),
+    )

@@ -311,6 +311,7 @@ PANDAS_ALLOWLIST = {
     "q302_png_decode",
     "q317_bmp_decode",
     "q335_udtf_chunk_spans",
+    "q353_qoi_decode",
 }
 
 

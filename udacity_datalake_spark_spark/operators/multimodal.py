@@ -268,6 +268,151 @@ def synthesize_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(synth, schema)
 
 
+def _qoi_encode_rgb(px) -> bytes:
+    """Reference QOI encoder (channels=3, fixed alpha 255) over an
+    (n, 3) uint8 pixel array — the standard op ladder from the public
+    QOI spec (qoiformat.org): RUN → INDEX → DIFF → LUMA → RGB, 64-slot
+    (r·3+g·5+b·7+a·11) mod 64 color index, previous pixel seeded to
+    (0,0,0,255)."""
+    out = bytearray()
+    index = [(0, 0, 0)] * 64
+    prev = (0, 0, 0)  # the spec's implicit (0,0,0,255) start pixel
+    run = 0
+    for r, g, b in px:
+        cur = (int(r), int(g), int(b))
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        h = (cur[0] * 3 + cur[1] * 5 + cur[2] * 7 + 255 * 11) % 64
+        if index[h] == cur:
+            out.append(h)
+        else:
+            index[h] = cur
+            dr = (cur[0] - prev[0] + 256) % 256
+            dg = (cur[1] - prev[1] + 256) % 256
+            db = (cur[2] - prev[2] + 256) % 256
+            # map to signed around 0
+            sdr = dr - 256 if dr > 127 else dr
+            sdg = dg - 256 if dg > 127 else dg
+            sdb = db - 256 if db > 127 else db
+            if -2 <= sdr <= 1 and -2 <= sdg <= 1 and -2 <= sdb <= 1:
+                out.append(0x40 | ((sdr + 2) << 4) | ((sdg + 2) << 2) | (sdb + 2))
+            elif (
+                -32 <= sdg <= 31
+                and -8 <= (sdr - sdg) <= 7
+                and -8 <= (sdb - sdg) <= 7
+            ):
+                out.append(0x80 | (sdg + 32))
+                out.append(((sdr - sdg + 8) << 4) | (sdb - sdg + 8))
+            else:
+                out.extend((0xFE, cur[0], cur[1], cur[2]))
+        prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    return bytes(out)
+
+
+def synthesize_qoi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic QOI image payload per row (real QOI per the public
+    spec: 14-byte header — magic ``qoif``, BE width/height, channels=3,
+    colorspace=0 — op stream, 8-byte end marker).  Pixel k's red channel
+    is (id·31 + (k//6)·2 + (k//96)·95) mod 256 with g = r+1, b = r+2
+    (mod 256): 6-pixel flats → RUN ops, +2 steps between segments →
+    LUMA ops, a +97 jump every 96 pixels → RGB ops, and wrapped color
+    revisits → INDEX hits, so the encoder genuinely exercises the whole
+    op ladder and a same-id decode must reproduce the closed-form sums."""
+    import struct
+
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                w, h = 16 + rid % 8, 8 + rid % 5
+                k = np.arange(w * h, dtype=np.int64)
+                r = (rid * 31 + (k // 6) * 2 + (k // 96) * 95) % 256
+                px = np.stack([r, (r + 1) % 256, (r + 2) % 256], axis=1).astype(
+                    np.uint8
+                )
+                header = struct.pack(">4sIIBB", b"qoif", w, h, 3, 0)
+                payloads.append(
+                    header + _qoi_encode_rgb(px) + b"\x00" * 7 + b"\x01"
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def _qoi_decode_rgb(data: bytes):
+    """Reference QOI decoder (channels=3): header validation, full op
+    walk (RUN/INDEX/DIFF/LUMA/RGB/RGBA), 64-slot color index, end-marker
+    check.  Returns (width, height, (n,3) uint8 array)."""
+    import struct
+
+    import numpy as np
+
+    magic, w, h, channels, _cs = struct.unpack_from(">4sIIBB", data, 0)
+    if magic != b"qoif":
+        raise ValueError(f"not a QOI payload: {magic!r}")
+    if channels not in (3, 4):
+        raise ValueError(f"bad channel count {channels}")
+    if data[-8:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    body = data[14:-8]
+    px = np.empty((w * h, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 255)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    i = n = 0
+    while n < w * h:
+        if i >= len(body):
+            raise ValueError(
+                f"truncated QOI op stream: {n} of {w * h} pixels decoded"
+            )
+        tag = body[i]
+        i += 1
+        if tag == 0xFE:  # QOI_OP_RGB
+            r, g, b = body[i], body[i + 1], body[i + 2]
+            i += 3
+        elif tag == 0xFF:  # QOI_OP_RGBA
+            r, g, b, a = body[i], body[i + 1], body[i + 2], body[i + 3]
+            i += 4
+        elif tag >> 6 == 0:  # QOI_OP_INDEX
+            r, g, b, a = index[tag]
+        elif tag >> 6 == 1:  # QOI_OP_DIFF
+            r = (r + ((tag >> 4) & 3) - 2) % 256
+            g = (g + ((tag >> 2) & 3) - 2) % 256
+            b = (b + (tag & 3) - 2) % 256
+        elif tag >> 6 == 2:  # QOI_OP_LUMA
+            dg = (tag & 0x3F) - 32
+            second = body[i]
+            i += 1
+            r = (r + dg + ((second >> 4) & 0x0F) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (second & 0x0F) - 8) % 256
+        else:  # QOI_OP_RUN
+            run = (tag & 0x3F) + 1
+            px[n : n + run] = (r, g, b)
+            n += run
+            continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        px[n] = (r, g, b)
+        n += 1
+    if n != w * h:
+        raise ValueError(f"pixel count mismatch: {n} != {w * h}")
+    return w, h, px
+
+
 def _png_unfilter(stream: bytes, width: int, height: int):
     """Reverse PNG scanline filtering (all five standard types) for an
     8-bit RGB image — returns an (h, w·3) uint8 array.  Pure stdlib +
@@ -500,9 +645,32 @@ def decode_media(df: DataFrame, codec: str, id_col: str = "doc_id") -> DataFrame
 
         return df.select(id_col, "payload").mapInPandas(decode, PPM_DECODE_SCHEMA)
 
+    if codec == "qoi":
+        # Real compressed-format decode #2 (after PNG): full QOI op walk
+        # (RUN/INDEX/DIFF/LUMA/RGB), 64-slot color index, header + end
+        # marker validation (_qoi_decode_rgb).  Same output grain as the
+        # other image codecs, so all four containers cross-check.
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                rows = {k: [] for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+                for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                    w, h, px = _qoi_decode_rgb(bytes(payload))
+                    px = px.astype(np.int64)
+                    rows["doc_id"].append(rid)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_r"].append(int(px[:, 0].sum()))
+                    rows["sum_g"].append(int(px[:, 1].sum()))
+                    rows["sum_b"].append(int(px[:, 2].sum()))
+                yield pd.DataFrame(rows)
+
+        return df.select(id_col, "payload").mapInPandas(decode, PPM_DECODE_SCHEMA)
+
     raise NotImplementedError(
         f"media decode ({codec}) requires codec libraries (PIL/ffmpeg/...) not in "
-        "this environment; wav/ppm/png/bmp are fully implemented and show the batch shape"
+        "this environment; wav/ppm/png/bmp/qoi are fully implemented and show the batch shape"
     )
 
 

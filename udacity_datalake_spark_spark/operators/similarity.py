@@ -242,6 +242,39 @@ def _lsh_tables_for(threshold: float, bits_per_table: int, target_recall: float)
     return t
 
 
+def lsh_bucket_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 16,
+    bits_per_table: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-table LSH bucket-occupancy diagnostic: (table, max_bucket,
+    n_buckets, candidate_pairs) where candidate_pairs = Σ C(size, 2)
+    over the table's buckets — the exact self-join fan-out that table
+    would contribute.  A mega-cluster (30% of the corpus in one tight
+    direction cone) lands in ONE bucket per table and shows up here as
+    max_bucket ≈ 0.3·n with candidate_pairs ≈ (0.3·n)²/2: the
+    operational guard a 100 TB ANN deployment alerts on before the
+    candidate join runs."""
+    planes = hyperplane_planes(dim, n_tables, bits_per_table, seed)
+    buckets = _bucket_udf(planes, n_tables, bits_per_table)
+    b = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+    )
+    per_bucket = b.groupBy("__tbl", "__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    return per_bucket.groupBy(F.col("__tbl").alias("table")).agg(
+        F.max("__n").cast("long").alias("max_bucket"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum((F.col("__n") * (F.col("__n") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("candidate_pairs"),
+    )
+
+
 def _lsh_near_dup_pairs(
     corpus: DataFrame,
     id_col: str,
@@ -251,12 +284,23 @@ def _lsh_near_dup_pairs(
     bits_per_table: int,
     dim: int,
     seed: int,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """LSH-prefiltered near-dup pairs: bucket self-join candidates,
     exact cosine verify on candidates only.  Everything stays
     distributed — the only Python is the Arrow-batched sign-bit matmul
     (one BLAS call per batch); candidate generation and verification
-    are plain hash joins Catalyst plans like any other."""
+    are plain hash joins Catalyst plans like any other.
+
+    ``max_bucket_rows`` is the mega-cluster occupancy guard: buckets
+    above the cap are sub-split by per-table secondary hyperplanes
+    (seed+1000+table), deterministically, so ONE hot direction cone
+    holding 30% of the corpus cannot turn a table's self-join into
+    (0.3·n)² candidate rows.  Pairs split apart by the secondary bits
+    in one table still collide in other tables (each table's secondary
+    planes differ), so recall degrades gracefully rather than the join
+    blowing up.  None (default) disables the cap — exact banding
+    semantics for the oracle-checked queries."""
     planes = hyperplane_planes(dim, n_tables, bits_per_table, seed)
     buckets = _bucket_udf(planes, n_tables, bits_per_table)
     # persist: the bucket frame feeds BOTH sides of the candidate
@@ -266,13 +310,53 @@ def _lsh_near_dup_pairs(
         F.col(id_col).alias("__id"),
         F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
     ).persist()
-    cand = (
-        b.select(F.col("__id").alias("id_a"), "__tbl", "__bucket")
-        .join(b.select(F.col("__id").alias("id_b"), "__tbl", "__bucket"), ["__tbl", "__bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    if max_bucket_rows is not None:
+        # secondary split bits: one extra sign-bit batch, table-salted
+        # planes so a pair separated in one table survives in others
+        sub_bits = max(bits_per_table, 4)
+        sub_planes = hyperplane_planes(dim, n_tables, sub_bits, seed + 1000)
+        sub_buckets = _bucket_udf(sub_planes, n_tables, sub_bits)
+        sizes = b.groupBy("__tbl", "__bucket").agg(F.count(F.lit(1)).alias("__bn"))
+        bs = corpus.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+            sub_buckets(F.col(vec_col)).alias("__subs"),
+        ).select(
+            "__id", "__tbl", "__bucket", F.expr("__subs[__tbl]").alias("__sub")
+        )
+        b = (
+            bs.join(F.broadcast(sizes), ["__tbl", "__bucket"])
+            .select(
+                "__id",
+                "__tbl",
+                F.when(F.col("__bn") > max_bucket_rows, F.col("__sub"))
+                .otherwise(F.lit(-1))
+                .alias("__sub"),
+                "__bucket",
+            )
+            .persist()
+        )
+        cand = (
+            b.select(F.col("__id").alias("id_a"), "__tbl", "__bucket", "__sub")
+            .join(
+                b.select(F.col("__id").alias("id_b"), "__tbl", "__bucket", "__sub"),
+                ["__tbl", "__bucket", "__sub"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        cand = (
+            b.select(F.col("__id").alias("id_a"), "__tbl", "__bucket")
+            .join(
+                b.select(F.col("__id").alias("id_b"), "__tbl", "__bucket"),
+                ["__tbl", "__bucket"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     sim = cosine_similarity("__va", "__vb")
@@ -301,6 +385,7 @@ def cosine_near_dup_pairs(
     target_recall: float = 0.97,
     dim: int = 64,
     seed: int = 42,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (id_a < id_b, sim ≥ τ) with a
     size-dependent physical strategy:
@@ -334,7 +419,15 @@ def cosine_near_dup_pairs(
         if n_tables is None:
             n_tables = _lsh_tables_for(threshold, bits_per_table, target_recall)
         return _lsh_near_dup_pairs(
-            corpus, id_col, vec_col, threshold, n_tables, bits_per_table, dim, seed
+            corpus,
+            id_col,
+            vec_col,
+            threshold,
+            n_tables,
+            bits_per_table,
+            dim,
+            seed,
+            max_bucket_rows=max_bucket_rows,
         )
     from collections.abc import Iterator
 
@@ -400,3 +493,82 @@ def kmeans_assign(
         F.col(id_col),
         F.explode(_cell_assign_udf(centroids, 1)(F.col(vec_col))).alias("cluster_id"),
     )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+) -> list[tuple[int, int, float]]:
+    """Greedy k-center (farthest-point-first) coreset selection: the
+    diversity-sampling primitive for training-data curation — pick k
+    vectors such that every corpus vector is close to some pick (2-approx
+    of the optimal k-center cover radius, Gonzalez 1985).
+
+    Fully deterministic: the first center is the minimum id; each round
+    picks the vector FARTHEST from its nearest already-chosen center
+    (Euclidean, rounded to 9 decimals before comparison, smallest-id
+    tie-break).
+
+    Scale shape: the chosen centers are a bounded k×dim driver-side
+    list (like ivf_centroids' training sample); each round is ONE
+    corpus scan — an Arrow-batched matmul against the current centers
+    followed by a single max aggregate.  k rounds total, no growing
+    lineage (each round's plan references only the literal center
+    matrix).  Returns [(rank, id, cover_radius_after_pick)] where
+    cover_radius is the max over the corpus of distance-to-nearest-
+    center AFTER the pick — non-increasing by construction.
+    """
+    import numpy as np
+
+    first = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__id")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        return []
+    centers = [(int(first[0]["__id"]), np.array(first[0]["__v"], dtype=np.float64))]
+    out: list[tuple[int, int, float]] = []
+
+    def dist_udf(center_mat: np.ndarray):
+        @F.pandas_udf(T.DoubleType())
+        def nearest(vecs: pd.Series) -> pd.Series:
+            m = np.array(vecs.tolist(), dtype=np.float64)
+            d2 = (
+                (m * m).sum(1)[:, None]
+                - 2.0 * (m @ center_mat.T)
+                + (center_mat * center_mat).sum(1)[None, :]
+            )
+            return pd.Series(np.sqrt(np.maximum(d2.min(axis=1), 0.0)))
+
+        return nearest
+
+    for rank in range(1, k + 1):
+        mat = np.stack([c[1] for c in centers])
+        scored = corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.round(dist_udf(mat)(F.col(vec_col)), 9).alias("__d"),
+        )
+        # radius of the CURRENT cover + the farthest point in one pass;
+        # smallest-id tie-break via (-id) inside the struct max
+        far = scored.agg(
+            F.max(F.struct(F.col("__d"), (-F.col("__id")).alias("__nid"))).alias(
+                "__far"
+            )
+        ).first()["__far"]
+        radius = float(far["__d"])
+        out.append((rank, centers[-1][0] if rank > 1 else centers[0][0], radius))
+        if rank == k:
+            break
+        next_id = int(-far["__nid"])
+        vec = (
+            corpus.where(F.col(id_col) == next_id)
+            .select(F.col(vec_col).alias("__v"))
+            .first()["__v"]
+        )
+        centers.append((next_id, np.array(vec, dtype=np.float64)))
+    return out
