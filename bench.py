@@ -107,6 +107,13 @@ HEADLINE = [
     "q334_custom_source_rollup",
     "q348_mergeable_quantiles",
     "q346_conversion_window",
+    # round-5 waves 63-68: governance regex scan, banded decay
+    # attribution, Apriori mining, M4 serving, Heaps growth
+    "q350_pii_scan",
+    "q356_time_decay_attribution",
+    "q363_heaps_law",
+    "q372_m4_downsample",
+    "q373_apriori_triples",
 ]
 
 
