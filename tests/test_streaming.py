@@ -561,3 +561,18 @@ def test_custom_datasource_stream_equals_batch_and_resumes(spark, tmp_path):
     )
     assert run2.count() == 2 * EVENTS_PER_DAY
     assert sorted(r.day for r in run2.select("day").distinct().collect()) == [2, 3]
+
+
+def test_streaming_m4_downsample_equals_batch(spark, events_dir):
+    """q372's M4 stats (min/max/first/last per window) must stream:
+    min_by/max_by over the event-time total order are algebraic, so the
+    windowed state stays bounded and the availableNow replay reproduces
+    the batch frame exactly."""
+    from udacity_datalake_spark_spark.streaming.windows import m4_window_agg
+
+    schema = _batch_schema(spark, events_dir)
+    stream = read_parquet_stream(spark, events_dir, schema)
+    streamed = run_available_now(m4_window_agg(stream), "t_m4")
+    batch = m4_window_agg(spark.read.parquet(events_dir))
+    cols = ["window_start", "window_end", "n_points", "v_min", "v_max", "v_first", "v_last"]
+    assert _as_sorted_rows(streamed, cols) == _as_sorted_rows(batch, cols)

@@ -207,3 +207,46 @@ def stream_static_enrich(
             "sum_value",
         )
     )
+
+
+def m4_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming twin of q372's M4 display downsampling: per tumbling
+    event-time window, the (count, min, max, first, last) of purchase
+    value in integer cents — first/last as min_by/max_by over the
+    (event time, event_id) total order, all algebraic aggregates that
+    stream with bounded per-window state.  Works unchanged on a batch
+    frame, so the streaming test asserts exact equality with the batch
+    result the DuckDB oracle family already verifies."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    purchases = src.where(F.col("event_type") == "purchase").select(
+        F.col(ts_col),
+        F.round(F.col("value").cast("decimal(18,2)") * 100, 0)
+        .cast("long")
+        .alias("v"),
+        "event_id",
+    )
+    order_key = F.struct(F.unix_micros(F.col(ts_col)).alias("t"), F.col("event_id"))
+    return (
+        purchases.groupBy(F.window(F.col(ts_col), width))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+            F.min_by("v", order_key).alias("v_first"),
+            F.max_by("v", order_key).alias("v_last"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_points",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+        )
+    )
