@@ -153,3 +153,33 @@ def test_shard_rebalance_every_key_assigned_once(spark, sf_dir):
         # statistical claim — vacuous on tiny fixtures (e.g. 15 users all
         # below the shard count, where modulo trivially moves nothing)
         assert r.ring_moved < r.mod_moved
+
+
+def test_km_risk_table_censoring_planted(spark, tmp_path):
+    """Censored users must reduce the risk set without counting as
+    deaths: plant 3 dead users (span 0-6d, ended long ago) and 2
+    censored users (active within the horizon)."""
+    base = dt.datetime(2024, 1, 1)
+    end = base + dt.timedelta(days=100)  # high-water mark
+    rows = [
+        # dead users: last event 80+ days before hwm, spans 0/3/10 days
+        (1, "view", 1, base, None),
+        (2, "view", 2, base, None),
+        (3, "view", 2, base + dt.timedelta(days=3), None),
+        (4, "view", 3, base, None),
+        (5, "view", 3, base + dt.timedelta(days=10), None),
+        # censored users: still active near the hwm
+        (6, "view", 4, base, None),
+        (7, "view", 4, end - dt.timedelta(days=2), None),
+        (8, "view", 5, end - dt.timedelta(days=1), None),
+        (9, "view", 5, end, None),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {r.tenure_bucket: r for r in QUERIES["q389_km_risk_table"](spark, d).collect()}
+    # bucket 0 (0-6d spans): users 1 (0d, dead), 2 (3d, dead), 5 (1d,
+    # censored) exit here; bucket 1: user 3 (10d, dead); bucket 14:
+    # user 4 (~98-100d span, censored)
+    assert out[0].n_deaths == 2 and out[0].n_censored == 1
+    assert out[0].n_at_risk == 5
+    assert out[1].n_deaths == 1 and out[1].n_at_risk == 2
+    assert out[max(out)].n_censored == 1 and out[max(out)].n_deaths == 0
