@@ -70,7 +70,8 @@ def ann_invariants(
     - ``recall_ge_floor``: |approx ∩ exact top-k| ≥ floor·|exact|;
     - ``deterministic``: a second independent run is multiset-identical.
     """
-    approx = run_fn()
+    # persist: five independent aggregates below consume the approx frame
+    approx = run_fn().persist()
     structure = (
         approx.groupBy("qid")
         .agg(
@@ -153,7 +154,8 @@ def hamming_pair_invariants(
       tests exercise the non-vacuous case);
     - ``deterministic``: a second independent run is multiset-identical.
     """
-    pairs = run_fn()
+    # persist: three independent aggregates below consume the pair frame
+    pairs = run_fn().persist()
     stats = pairs.agg(
         F.coalesce(
             F.min((F.col("hamming") >= 0) & (F.col("hamming") <= max_hamming)),

@@ -17,7 +17,6 @@ from udacity_datalake_spark_spark.plans.wave15 import (
     COSUPPLY_EDGES_SQL,
     cosupply_edges,
 )
-from udacity_datalake_spark_spark.sources.readers import read_table
 
 EC_ITERS = 4
 EC_SCALE = 1_000_000_000
