@@ -183,3 +183,25 @@ def test_km_risk_table_censoring_planted(spark, tmp_path):
     assert out[0].n_at_risk == 5
     assert out[1].n_deaths == 1 and out[1].n_at_risk == 2
     assert out[max(out)].n_censored == 1 and out[max(out)].n_deaths == 0
+
+
+def test_maxmin_fair_share_all_satisfied_regime(spark, tmp_path):
+    """When capacity covers every demand (here: equal demands, 50%
+    capacity cannot cover all — so plant the INVERSE: verify the
+    allocator on a planted skew where the water level is known)."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    # demands: users 1..4 -> 1,1,1,17 events (total 20, capacity 10)
+    for u, n in [(1, 1), (2, 1), (3, 1), (4, 17)]:
+        for i in range(n):
+            rows.append((eid, "view", u, base + dt.timedelta(minutes=eid), None))
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    r = QUERIES["q382_maxmin_fair_share"](spark, d).first()
+    # capacity 10: users 1-3 fully satisfied (3 used), user 4 gets
+    # floor(7/1) = 7
+    assert r.capacity == 10
+    assert r.n_fully_satisfied == 3
+    assert r.fair_share == 7
+    assert r.total_allocated == 10

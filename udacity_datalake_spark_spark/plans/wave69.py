@@ -205,15 +205,18 @@ def q382_maxmin_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sat = levels.where(F.col("d") <= F.col("level")).agg(
         F.max("r").alias("r_sat")
     )
+    # aggregate (not filter-project): when every demand is satisfied
+    # r_sat = n and no r_sat+1 row exists — the agg still yields ONE row
+    # with a NULL share, which the satisfied branch below never reads
     share_row = (
         levels.crossJoin(F.broadcast(sat))
         .where(F.col("r") == F.coalesce(F.col("r_sat"), F.lit(0)) + 1)
-        .select(
-            F.floor(
-                (F.col("c") - F.col("prefix")) / (F.col("n") - F.col("r") + 1)
-            )
-            .cast("long")
-            .alias("share")
+        .agg(
+            F.min(
+                F.floor(
+                    (F.col("c") - F.col("prefix")) / (F.col("n") - F.col("r") + 1)
+                ).cast("long")
+            ).alias("share")
         )
     )
     alloc = (
