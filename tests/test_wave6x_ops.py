@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from udacity_datalake_spark_spark.plans import QUERIES
 
 
@@ -205,3 +207,35 @@ def test_maxmin_fair_share_all_satisfied_regime(spark, tmp_path):
     assert r.n_fully_satisfied == 3
     assert r.fair_share == 7
     assert r.total_allocated == 10
+
+
+def test_partition_modularity_two_cliques(spark, tmp_path):
+    """Known-answer modularity: two 3-cliques bridged by one edge, each
+    clique = one nation -> Q = 2*(3/7 - (7/14)^2) = 0.357143.  Edge
+    pairs share 3 parts (passing the 1.1x-mean threshold), two decoy
+    cross pairs share 1 part (failing it) — also pins the adaptive
+    edge-threshold arithmetic."""
+    d = str(tmp_path / "fx")
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    decoys = [(1, 4), (2, 5)]
+    rows = []
+    pk = 0
+    for u, w in edges:
+        for _ in range(3):
+            rows += [(pk, u), (pk, w)]
+            pk += 1
+    for u, w in decoys:
+        rows += [(pk, u), (pk, w)]
+        pk += 1
+    spark.createDataFrame(rows, "l_partkey long, l_suppkey long").withColumn(
+        "l_orderkey", (F.col("l_partkey") * 10 + F.col("l_suppkey")).cast("long")
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(s, 0 if s <= 3 else 1) for s in range(1, 7)],
+        "s_suppkey long, s_nationkey long",
+    ).write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    r = QUERIES["q381_partition_modularity"](spark, d).first()
+    assert r.n_edges == 7
+    assert r.intra_edges == 6  # the bridge is the only cross-nation edge
+    assert r.n_communities == 2
+    assert abs(r.modularity - 0.357143) < 1e-6
