@@ -321,7 +321,7 @@ def q404_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ks = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], "k int")
     club = (
-        ks.join(deg, deg.d > ks.k)
+        deg.join(F.broadcast(ks), deg.d > ks.k)
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
     )
@@ -329,7 +329,7 @@ def q404_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = deg.select(F.col("x").alias("w"), F.col("d").alias("dw"))
     annotated = edges.join(F.broadcast(du), "u").join(F.broadcast(dw), "w")
     club_edges = (
-        ks.crossJoin(annotated)
+        annotated.crossJoin(F.broadcast(ks))
         .where((F.col("du") > F.col("k")) & (F.col("dw") > F.col("k")))
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
