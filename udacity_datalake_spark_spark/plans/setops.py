@@ -50,6 +50,9 @@ def q24_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q25_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): nations present among BOTH customers
+    and suppliers — plans as a distinct-preserving left-semi aggregate,
+    one hash exchange per side."""
     c = read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
