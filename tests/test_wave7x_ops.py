@@ -115,3 +115,72 @@ def test_priority_sampling_estimate_brute_force(spark, sf_dir):
     est = sum(max(wt, tau_w) for _, _, wt in pri[:k])
     assert r.true_total_cents == total
     assert r.ht_estimate_cents == est
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path / "fx")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_normalization_gain_planted_variants(spark, tmp_path):
+    """Case/spacing variants are invisible to byte hashing but collapse
+    under canonical normalization."""
+    rows = [
+        (1, "alpha beta gamma", "s", "en", 1),
+        (2, "Alpha  beta GAMMA", "s", "en", 1),   # variant of 1
+        (3, " alpha beta gamma ", "s", "en", 1),  # variant of 1
+        (4, "delta epsilon", "s", "en", 1),
+        (5, "delta epsilon", "s", "en", 1),       # byte-exact dup of 4
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    r = QUERIES["q403_normalization_dedup_gain"](spark, d).first()
+    assert r.n_docs == 5
+    assert r.n_raw_distinct == 4     # 4+5 collapse
+    assert r.n_norm_distinct == 2    # {alpha beta gamma, delta epsilon}
+    assert r.extra_dups_found == 2
+    assert r.raw_dup_burden == 1 and r.norm_dup_burden == 3
+
+
+def test_day_boundary_planted_crossing(spark, tmp_path):
+    """A purchase at 23:00 UTC lands on the NEXT day under +8h; one at
+    noon does not move."""
+    import datetime as dt2
+
+    rows = [
+        (1, "purchase", 1, dt2.datetime(2024, 1, 1, 12, 0), 10.0),
+        (2, "purchase", 1, dt2.datetime(2024, 1, 1, 23, 0), 5.0),
+        (3, "purchase", 2, dt2.datetime(2024, 1, 2, 3, 0), 7.0),
+    ]
+    d = str(tmp_path / "fx")
+    from pyspark.sql import functions as F2
+
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = QUERIES["q405_day_boundary_sensitivity"](spark, d).first()
+    assert r.rows_crossing_boundary == 1  # only the 23:00 purchase
+    assert r.cents_crossing_boundary == 500
+    # day1 loses 500 (utc 1500 vs shifted 1000), day2 gains 500
+    assert r.total_daily_reallocation_cents == 1000
+
+
+def test_session_gap_sweep_planted_counts(spark, tmp_path):
+    """Known gap structure: one user with gaps of 10 and 40 minutes →
+    1 session at 60m, 2 at 30m/15m, 3 at 5m."""
+    import datetime as dt2
+
+    base = dt2.datetime(2024, 1, 1)
+    rows = [
+        (1, "view", 1, base, None),
+        (2, "view", 1, base + dt2.timedelta(minutes=10), None),
+        (3, "view", 1, base + dt2.timedelta(minutes=50), None),
+    ]
+    d = str(tmp_path / "fx")
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r.gap_minutes: r.n_sessions for r in QUERIES["q408_session_gap_sensitivity"](spark, d).collect()}
+    assert out == {5: 3, 15: 2, 30: 2, 60: 1}
