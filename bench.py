@@ -20,7 +20,77 @@ import time
 from udacity_datalake_spark_spark.plans import QUERIES
 from udacity_datalake_spark_spark.session import get_session
 
+# Headline policy (round 6): the driver captures only a 2000-char stdout
+# TAIL and parses the LAST line.  Rounds 3 and 5 both broke parsing by
+# letting the final line grow with the headliner count (51-entry slope
+# dict in r3; 66-entry timings dict in r5).  The structural fix:
+#   * HEADLINE is FROZEN at ~42 representative queries — every operator
+#     family keeps its slowest member plus current watch items — so
+#     round-over-round diffs stay like-for-like.
+#   * The final stdout line is a COMPACT summary with NO per-query dict
+#     (~120 chars, immune to headliner growth); per-query timings and
+#     slopes are printed on their own EARLIER lines and mirrored to
+#     BENCH_LOCAL.json on disk.
+#   * tests/test_catalog.py::test_bench_headline_line_fits_tail pins the
+#     rendered final line under 1800 chars.
+# The wider 66-query sweep is preserved as HEADLINE_FULL and runs with
+# SPARK_GRAFT_BENCH_FULL=1 (BENCH_LOCAL.json records which set ran).
 HEADLINE = [
+    # relational core — flagship + join shapes
+    "q01_pricing_summary",
+    "q05_inner_join",
+    "q06_left_join_agg",
+    "q07_or_join_decomposed",
+    "q10_multi_hop_join",
+    "q61_local_supplier_volume",
+    "q85_market_share",
+    "q91_large_volume_customers",
+    # window / join-kind / scale-path surface
+    "q13_topk_per_group",
+    "q34_asof_join",
+    "q35_range_band_join",
+    "q38_salted_join",
+    # LLM-pipeline + event-time surface
+    "q40_dedup_exact",
+    "q77_repetition_metrics",
+    "q65_sessionize",
+    "q72_dq_report",
+    # curation / skew scale paths
+    "q95_dedup_corpus",
+    "q109_hot_key_skew_join",
+    "q110_sequence_packing",
+    # behavioral + scoring surface
+    "q126_event_funnel",
+    "q133_bm25_retrieval",
+    "q143_pmi_cooccurrence",
+    "q154_point_in_time_join",
+    # moments / novelty / ranking
+    "q179_trigram_novelty",
+    "q189_curriculum_phases",
+    "q195_curation_pipeline",
+    # stats / graph / heavy-hitter / spatial
+    "q210_ks_two_sample",
+    "q212_triangle_count",
+    "q215_heavy_hitter_bigrams",
+    "q218_grid_spatial_join",
+    "q222_abc_xyz_classification",
+    "q229_item_neighbors",
+    # containment dedup / sampling / lateness
+    "q232_shingle_containment",
+    "q246_monetary_unit_sampling",
+    "q271_late_event_rate",
+    # similarity / multimodal / decontamination / span dedup
+    "q301_sparse_cosine_topk",
+    "q302_png_decode",
+    "q309_bloom_decontamination",
+    "q311_exact_substring_spans",
+    # graph mining / text growth / frequent itemsets
+    "q319_link_prediction",
+    "q363_heaps_law",
+    "q373_apriori_triples",
+]
+
+HEADLINE_FULL = [
     # relational core
     "q01_pricing_summary",
     "q02_filter_project",
@@ -122,6 +192,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    headline = (
+        HEADLINE_FULL
+        if os.environ.get("SPARK_GRAFT_BENCH_FULL", "0") == "1"
+        else HEADLINE
+    )
     spark = get_session(app_name="udacity-datalake-spark-bench")
     # Warm-up: run every headline query once at the smallest SF.  The plan
     # shapes are identical, so this compiles the same whole-stage-codegen
@@ -130,7 +205,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in headline:
         if name in QUERIES:
             QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
@@ -140,7 +215,7 @@ def main() -> None:
     # stable estimate of what the plan actually costs.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         if name not in QUERIES:
             continue
         best = float("inf")
@@ -178,13 +253,15 @@ def main() -> None:
         flagged = [n for n, r in slopes.items() if r >= 20.0]
 
     total = round(sum(timings.values()), 4)
-    # The driver captures the TAIL of stdout and parses the last JSON
-    # line.  Round 3 appended the 51-entry slope dict to the headline
-    # line, pushing the front (metric/value/most timings) past the
-    # capture window — BENCH_r03.json recorded "parsed": null.  So:
-    # slopes go on their own line FIRST, and the compact headline JSON
-    # is printed LAST (nothing after it, including Spark shutdown logs,
-    # which go to stderr).
+    # The driver captures the TAIL of stdout and parses the LAST JSON
+    # line.  Rounds 3 AND 5 both produced "parsed": null by letting the
+    # final line carry a per-query dict that outgrew the 2000-char tail
+    # window.  Structural fix: slopes and the per-query timings dict each
+    # go on their OWN earlier line (and into BENCH_LOCAL.json on disk);
+    # the LAST line is a compact constant-size summary with no per-query
+    # payload.  Nothing prints after it — Spark shutdown logs go to
+    # stderr.  tests/test_catalog.py::test_bench_headline_line_fits_tail
+    # pins the rendered final line under 1800 chars.
     if slopes:
         print(
             json.dumps(
@@ -198,14 +275,45 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
+                "metric": "headline_queries_detail",
                 "queries": timings,
                 "sf": sf,
             }
         )
     )
+    final_line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "sf": sf,
+        }
+    )
+    # Mirror the full record to disk so per-query numbers survive even if
+    # stdout is truncated.  The committed copy is refreshed each local
+    # full-sweep run; a driver run overwrites it with the headline set.
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_queries_total",
+                    "value": total,
+                    "unit": "sec",
+                    "n_queries": len(timings),
+                    "sf": sf,
+                    "headline_set": "full" if headline is HEADLINE_FULL else "frozen42",
+                    "queries": timings,
+                    "slopes": slopes,
+                    "flagged_ge20x": flagged,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+    except OSError:
+        pass
+    print(final_line)
     sys.stdout.flush()
     spark.stop()
 

@@ -359,3 +359,37 @@ def test_every_query_documented():
 
     undocumented = [n for n, fn in QUERIES.items() if not fn.__doc__]
     assert not undocumented, undocumented
+
+
+def test_bench_headline_line_fits_tail():
+    """BENCH parse guard (round-5 VERDICT #1): the driver keeps only a
+    2000-char stdout tail and parses the LAST line.  Rounds 3 and 5 both
+    recorded parsed:null when the final line grew with the headliner
+    count.  The final line is now a constant-size summary (no per-query
+    dict); this test renders it for the CURRENT HEADLINE list and pins
+    it well under the window, plus asserts every headliner is a
+    registered query so a rename can't silently shrink the bench."""
+    import json
+
+    import bench
+    from udacity_datalake_spark_spark.plans import QUERIES
+
+    final_line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 9999.9999,
+            "unit": "sec",
+            "n_queries": len(bench.HEADLINE),
+            "sf": 0.1,
+        }
+    )
+    assert len(final_line) < 1800, (
+        f"bench.py final stdout line is {len(final_line)} chars — the "
+        "driver tail window is 2000; keep per-query payload OFF this line"
+    )
+    for name in bench.HEADLINE:
+        assert name in QUERIES, f"HEADLINE names unregistered query {name}"
+    for name in bench.HEADLINE_FULL:
+        assert name in QUERIES, f"HEADLINE_FULL names unregistered query {name}"
+    # the frozen set is a subset of the full sweep — diffs stay comparable
+    assert set(bench.HEADLINE) <= set(bench.HEADLINE_FULL)
