@@ -70,7 +70,11 @@ def main() -> None:
     # with more data.  Re-verify the data-sensitive families (quantiles,
     # sketches, sampling, LSH/ANN, dedup, moments) at the LARGEST
     # fixture the sandbox holds.
+    # sf0.1 failures tracked separately from the sf0.01 list so the
+    # summary header's per-tier FAIL counts stay accurate (round-5
+    # ADVICE: a volume-run failure used to inflate the sf0.01 count)
     big_statuses: dict[str, str] = {}
+    big_failures: list[str] = []
     big_dir = "/root/testdata/sf0.1"
     if write_summary and not subs and big_dir != sf_dir:
         sensitive = [
@@ -97,7 +101,7 @@ def main() -> None:
                     big_statuses[name] = "rows-only"
             except Exception as ex:
                 big_statuses[name] = "FAIL"
-                failures.append(f"{name}@sf0.1")
+                big_failures.append(f"{name}@sf0.1")
                 print(f"  {name} @sf0.1: FAIL — {ex}")
             finally:
                 spark.catalog.clearCache()
@@ -113,7 +117,7 @@ def main() -> None:
             "",
             f"Run: {datetime.date.today().isoformat()} at `{sf_dir}` "
             f"({len(statuses)} queries; {n_ok} MATCH, {n_rows_only} rows-only, "
-            f"{len(failures)} FAIL)",
+            f"{len(failures)} FAIL; volume spot-run: {len(big_failures)} FAIL)",
             "",
             f"sf0.1 column: volume spot-run of the {len(big_statuses)} "
             "data-sensitive queries (quantiles, sketches, sampling, LSH/ANN, "
@@ -131,7 +135,7 @@ def main() -> None:
         with open("/root/repo/CORRECTNESS_LOCAL.md", "w") as fh:
             fh.write("\n".join(lines) + "\n")
         print("wrote CORRECTNESS_LOCAL.md")
-    if failures:
+    if failures or big_failures:
         sys.exit(1)
 
 

@@ -148,11 +148,21 @@ def hamming_pair_invariants(
     - ``{count_alias}``: the oracle-computable input count;
     - ``pairs_within_radius``: every hamming in [0, max_hamming];
     - ``pairs_canonical_distinct``: d1 < d2 everywhere, no duplicate pair;
+    - ``n_expected_pairs`` / ``n_recovered_pairs``: the must-hit pair
+      count and how many the output recovered.  Both are oracle-pinnable
+      (the expected set is an identical-content self-join DuckDB can
+      count), so a zero-output regression fails the gate numerically even
+      though the structural booleans coalesce to TRUE on an empty frame
+      (round-5 ADVICE: the booleans alone were vacuous);
     - ``expected_pairs_recovered``: every must-hit pair (identical
       content → identical signature → guaranteed band collision) is in
-      the output (TRUE vacuously when the corpus has none — planted unit
-      tests exercise the non-vacuous case);
+      the output;
     - ``deterministic``: a second independent run is multiset-identical.
+
+    Cache note: the pair frame is persisted because three independent
+    aggregates consume it; callers benching repeated runs should
+    ``spark.catalog.clearCache()`` between runs (bench.py and driver_sim
+    already do).
     """
     # persist: three independent aggregates below consume the pair frame
     pairs = run_fn().persist()
@@ -170,8 +180,12 @@ def hamming_pair_invariants(
             expected_pairs.join(pairs.select("d1", "d2"), ["d1", "d2"], "left_anti")
             .agg(F.count(F.lit(1)).alias("__n_missed"))
         )
+        n_exp = expected_pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("__n_exp")
+        )
     else:
         missed = pairs.limit(0).agg(F.count(F.lit(1)).alias("__n_missed"))
+        n_exp = pairs.limit(0).agg(F.count(F.lit(1)).cast("long").alias("__n_exp"))
     sig_cols = ["d1", "d2", "hamming"]
     s1 = _content_signature(pairs, sig_cols)
     s2 = _content_signature(run_fn(), sig_cols).select(
@@ -181,6 +195,7 @@ def hamming_pair_invariants(
     return (
         nb.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(missed))
+        .crossJoin(F.broadcast(n_exp))
         .crossJoin(F.broadcast(s1))
         .crossJoin(F.broadcast(s2))
         .select(
@@ -188,6 +203,10 @@ def hamming_pair_invariants(
             F.col("__within").alias("pairs_within_radius"),
             (F.col("__canon") & (F.col("__np") == F.col("__nd"))).alias(
                 "pairs_canonical_distinct"
+            ),
+            F.col("__n_exp").alias("n_expected_pairs"),
+            (F.col("__n_exp") - F.col("__n_missed").cast("long")).alias(
+                "n_recovered_pairs"
             ),
             (F.col("__n_missed") == 0).alias("expected_pairs_recovered"),
             (

@@ -273,7 +273,17 @@ def _qoi_encode_rgb(px) -> bytes:
     (n, 3) uint8 pixel array — the standard op ladder from the public
     QOI spec (qoiformat.org): RUN → INDEX → DIFF → LUMA → RGB, 64-slot
     (r·3+g·5+b·7+a·11) mod 64 color index, previous pixel seeded to
-    (0,0,0,255)."""
+    (0,0,0,255).
+
+    Known divergence from the reference qoi.c ENCODER (spec-valid, and
+    round-trips through any conforming decoder including ours): LUMA
+    eligibility is tested on (sdr−sdg)/(sdb−sdg) computed from the
+    already-sign-mapped per-channel deltas WITHOUT a second mod-256
+    re-wrap, so extreme wraparound deltas (e.g. r jumps +200 while g
+    jumps −200) fall back to OP_RGB where qoi.c would emit OP_LUMA.
+    Byte streams therefore decode identically but are not byte-identical
+    to qoi.c output on such pixels; wrap (dr−dg) and (db−dg) mod 256 to
+    signed before the range test if byte-compat ever matters."""
     out = bytearray()
     index = [(0, 0, 0)] * 64
     prev = (0, 0, 0)  # the spec's implicit (0,0,0,255) start pixel

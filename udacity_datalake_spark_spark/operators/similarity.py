@@ -303,14 +303,21 @@ def _lsh_near_dup_pairs(
     semantics for the oracle-checked queries."""
     planes = hyperplane_planes(dim, n_tables, bits_per_table, seed)
     buckets = _bucket_udf(planes, n_tables, bits_per_table)
-    # persist: the bucket frame feeds BOTH sides of the candidate
-    # self-join, and the Arrow matmul behind it is the expensive stage —
-    # without this the full-corpus sign-bit computation runs twice
+    # persist discipline: exactly ONE frame is persisted per call — the
+    # bucket frame that feeds BOTH sides of the candidate self-join (the
+    # Arrow sign-bit matmul behind it is the expensive stage).  In the
+    # max_bucket_rows branch the one-shot `sizes` aggregate reads the
+    # UNPERSISTED frame and only the joined/capped frame is cached
+    # (round-5 ADVICE: the earlier version persisted both and leaked the
+    # first).  Callers that loop (bench/driver_sim) clearCache() between
+    # runs; library callers should do the same after consuming the pairs.
     b = corpus.select(
         F.col(id_col).alias("__id"),
         F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
-    ).persist()
-    if max_bucket_rows is not None:
+    )
+    if max_bucket_rows is None:
+        b = b.persist()
+    else:
         # secondary split bits: one extra sign-bit batch, table-salted
         # planes so a pair separated in one table survives in others
         sub_bits = max(bits_per_table, 4)
@@ -336,27 +343,18 @@ def _lsh_near_dup_pairs(
             )
             .persist()
         )
-        cand = (
-            b.select(F.col("__id").alias("id_a"), "__tbl", "__bucket", "__sub")
-            .join(
-                b.select(F.col("__id").alias("id_b"), "__tbl", "__bucket", "__sub"),
-                ["__tbl", "__bucket", "__sub"],
-            )
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-    else:
-        cand = (
-            b.select(F.col("__id").alias("id_a"), "__tbl", "__bucket")
-            .join(
-                b.select(F.col("__id").alias("id_b"), "__tbl", "__bucket"),
-                ["__tbl", "__bucket"],
-            )
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
+    join_keys = (
+        ["__tbl", "__bucket"]
+        if max_bucket_rows is None
+        else ["__tbl", "__bucket", "__sub"]
+    )
+    cand = (
+        b.withColumnRenamed("__id", "id_a")
+        .join(b.withColumnRenamed("__id", "id_b"), join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     sim = cosine_similarity("__va", "__vb")
@@ -563,6 +561,13 @@ def kcenter_select(
         radius = float(far["__d"])
         out.append((rank, centers[-1][0] if rank > 1 else centers[0][0], radius))
         if rank == k:
+            break
+        # cover complete: when every point coincides with a center the
+        # farthest distance is 0 and the "next" pick would re-select an
+        # existing id (k > distinct vectors) — stop instead of appending
+        # a duplicate center (round-5 ADVICE; q354's ids_distinct
+        # invariant relies on this)
+        if radius == 0.0:
             break
         next_id = int(-far["__nid"])
         vec = (

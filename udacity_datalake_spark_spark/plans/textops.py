@@ -204,12 +204,19 @@ def q46_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q47_simhash",
     oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    WITH dup AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM documents a JOIN documents b
+          ON a.text = b.text AND a.doc_id < b.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
            TRUE AS pairs_within_radius,
            TRUE AS pairs_canonical_distinct,
+           dup.n AS n_expected_pairs,
+           dup.n AS n_recovered_pairs,
            TRUE AS expected_pairs_recovered,
            TRUE AS deterministic
-    FROM documents
+    FROM dup
     """,
 )
 def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
