@@ -184,3 +184,40 @@ def test_session_gap_sweep_planted_counts(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{d}/events.parquet")
     out = {r.gap_minutes: r.n_sessions for r in QUERIES["q408_session_gap_sensitivity"](spark, d).collect()}
     assert out == {5: 3, 15: 2, 30: 2, 60: 1}
+
+
+def test_apriori_prefilter_gate_result_invariant(spark):
+    """Downward-closure basket prefilter (round-5 VERDICT #4): force the
+    gate both ways on a planted corpus — a frequent triple inside wide
+    baskets padded with singleton junk items — and assert the filtered
+    and unfiltered plans return the SAME frequent triples, including the
+    planted one.  The junk items are exactly what the prefilter exists
+    to drop before the C(|basket|,3) enumeration."""
+    from udacity_datalake_spark_spark.plans.wave67 import apriori_triples
+
+    rows = []
+    # 50 baskets each containing the planted triple {A, B, C} (+ D on
+    # even baskets so extra frequent pairs exist), padded with 6 unique
+    # junk items per basket (universe ≈ 300 junk + 4 real)
+    for o in range(50):
+        rows += [(o, "itemA"), (o, "itemB"), (o, "itemC")]
+        if o % 2 == 0:
+            rows.append((o, "itemD"))
+        rows += [(o, f"junk_{o}_{j}") for j in range(6)]
+    items = spark.createDataFrame(rows, "o long, p string").persist()
+
+    def collected(prefilter_gate):
+        out = apriori_triples(
+            items, support_denom=3, prefilter_universe_gt=prefilter_gate
+        )
+        return sorted(
+            (r.p1, r.p2, r.p3, r.support) for r in out.collect()
+        )
+
+    filtered = collected(0)            # universe > 0 → prefilter ON
+    unfiltered = collected(10**9)      # never triggers → raw baskets
+    assert filtered == unfiltered
+    assert ("itemA", "itemB", "itemC", 50) in filtered
+    # junk items are singletons — no junk triple can be frequent
+    assert all(not p1.startswith("junk") for p1, _, _, _ in filtered)
+    items.unpersist()

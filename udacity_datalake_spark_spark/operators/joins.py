@@ -136,12 +136,18 @@ def hot_key_salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"hot_key_salted_join supports inner/left, got {how!r}")
     sampled = fact.select(key).sample(fraction=sample_fraction, seed=seed)
-    counts = sampled.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    # persist the (tiny) per-key sample counts: the threshold needs the
+    # sampled TOTAL before the hot list can be filtered, i.e. two actions
+    # — without the persist each action re-scans and re-shuffles the fact
+    # sample, doubling detection cost (round-5 BENCH drift bisect: the
+    # double pass was the dominant q109 term)
+    counts = sampled.groupBy(key).agg(F.count(F.lit(1)).alias("__n")).persist()
     total = counts.agg(F.sum("__n")).first()[0] or 0
     hot = [
         r[key]
         for r in counts.where(F.col("__n") >= F.lit(max(1.0, total * hot_fraction))).collect()
     ]
+    counts.unpersist()
     if not hot:
         return fact.join(dim, key, how)
 
