@@ -74,9 +74,11 @@ def _zipf_probs(n: int, a: float) -> np.ndarray:
     return p / p.sum()
 
 
-def build_skewed_documents(n_docs: int, seed: int = 7):
+def build_skewed_documents(n_docs: int, seed: int = 7, exact_spam: bool = False):
     """Rows (doc_id, text, lang, source, n_chars) with Zipf tokens and a
-    duplicate-heavy spam source."""
+    duplicate-heavy spam source.  ``exact_spam=True`` makes the spam 30%
+    EXACT copies of the 20 masters — the identical-signature mega-group
+    regime no hash can sub-split (the collapse_exact guard's target)."""
     rng = np.random.default_rng(seed)
     probs = _zipf_probs(VOCAB, ZIPF_A)
     vocab = np.array([f"tok{i}" for i in range(VOCAB)])
@@ -94,8 +96,9 @@ def build_skewed_documents(n_docs: int, seed: int = 7):
             source = f"src{i % 4}"
         else:
             # near-duplicate of a master: one token appended → Jaccard ≈ 1
+            # (or a byte-exact copy in the exact_spam regime)
             m = masters[i % 20]
-            text = m + f" tail{i % 7}"
+            text = m if exact_spam else m + f" tail{i % 7}"
             source = "spam"
         rows.append((i, text, "en" if i % 5 else "de", source, len(text)))
     return rows
@@ -199,6 +202,57 @@ def main() -> None:
             }
         )
     )
+
+    # Round-6: MinHash occupancy-guard evidence on the identical-heavy
+    # corpus (30% byte-exact copies of 20 masters).  Time the q95 dedup
+    # shape guard-OFF vs collapse_exact at both scales: OFF fans each
+    # identical group quadratically in EVERY band; collapse emits
+    # linear star edges, so its slope stays ~data-linear.
+    from pyspark.sql import functions as F
+    from udacity_datalake_spark_spark.operators.dedup import minhash_lsh_pairs
+    from udacity_datalake_spark_spark.operators.graph import connected_components
+
+    def dedup_secs(sf_dir: str, collapse: bool) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            edges = minhash_lsh_pairs(
+                d, "doc_id", "text", n=3, threshold=0.6, collapse_exact=collapse
+            )
+            labels = connected_components(edges, src="d1", dst="d2")
+            losers = labels.where(F.col("node") != F.col("component")).select(
+                F.col("node").alias("loser")
+            )
+            d.join(
+                F.broadcast(losers), F.col("doc_id") == F.col("loser"), "left_anti"
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return round(best, 4)
+
+    small_x, big_x = f"{tmp}/small_exact", f"{tmp}/big_exact"
+    for out_dir, base, n_docs in (
+        (small_x, "/root/testdata/sf0.01", 500),
+        (big_x, "/root/testdata/sf0.1", 5000),
+    ):
+        os.makedirs(out_dir, exist_ok=True)
+        spark.createDataFrame(
+            build_skewed_documents(n_docs, exact_spam=True),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(4).write.mode("overwrite").parquet(
+            f"{out_dir}/documents.parquet"
+        )
+    guard = {}
+    for mode, collapse in (("guard_off", False), ("collapse_exact", True)):
+        dedup_secs(small_x, collapse)  # warm
+        s, b = dedup_secs(small_x, collapse), dedup_secs(big_x, collapse)
+        guard[mode] = {
+            "small_secs": s,
+            "big_secs": b,
+            "slope": round(b / s, 2) if s > 0 else 0.0,
+        }
+    print(json.dumps({"metric": "minhash_guard_identical_corpus", **guard}))
     spark.stop()
 
 

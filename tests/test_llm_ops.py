@@ -405,3 +405,89 @@ def test_lsh_bucket_cap_bounds_candidates_keeps_recall(spark):
         len(capped_set),
         len(uncapped_set & exact_set),
     )
+
+
+def _boilerplate_corpus(spark):
+    """200 docs: 60 exact copies of a license header (the identical
+    mega-group no hash can split), 60 near-identical variants (the
+    J≈0.9 boilerplate regime the bucket cap sub-splits), 80 unrelated
+    docs.  Deterministic by construction."""
+    lic = " ".join(f"lic{w}" for w in range(40))
+    rows = [(i, lic) for i in range(60)]
+    for i in range(60, 120):
+        # tweak 2 of 40 tokens -> 3-gram Jaccard ~ 0.75-0.8, distinct sigs
+        words = [f"lic{w}" for w in range(40)]
+        words[10] = f"var{i}"
+        words[30] = f"alt{i}"
+        rows.append((i, " ".join(words)))
+    for i in range(120, 200):
+        rows.append((i, " ".join(f"doc{i}tok{w}" for w in range(30))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_band_stats_flags_identical_cluster(spark):
+    """The MinHash occupancy diagnostic must expose an identical-text
+    mega-group: 60 identical docs share their whole signature, so EVERY
+    band reports max_bucket >= 60 with the quadratic candidate count."""
+    from udacity_datalake_spark_spark.operators.dedup import minhash_band_stats
+
+    d = _boilerplate_corpus(spark).persist()
+    stats = minhash_band_stats(d, "doc_id", "text").collect()
+    assert len(stats) == 32
+    for r in stats:
+        assert r.max_bucket >= 60, r
+        assert r.candidate_pairs >= (60 * 59) // 2, r
+    d.unpersist()
+
+
+def test_minhash_collapse_exact_star_preserves_components(spark):
+    """collapse_exact must turn the identical group's C(60,2)=1770 pairs
+    into 59 star rows while leaving the connected-component partition —
+    what the q95/q195 dedup pipelines consume — bit-identical."""
+    from udacity_datalake_spark_spark.operators.dedup import minhash_lsh_pairs
+    from udacity_datalake_spark_spark.operators.graph import connected_components
+
+    d = _boilerplate_corpus(spark).persist()
+    full = minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    collapsed = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, collapse_exact=True
+    )
+
+    def comp_map(edges):
+        return {
+            (r.node, r.component)
+            for r in connected_components(edges, src="d1", dst="d2").collect()
+        }
+
+    full_rows = full.collect()
+    col_rows = collapsed.collect()
+    mega = {i for i in range(60)}
+    n_mega_full = sum(1 for r in full_rows if r.d1 in mega and r.d2 in mega)
+    n_mega_col = sum(1 for r in col_rows if r.d1 in mega and r.d2 in mega)
+    assert n_mega_full == (60 * 59) // 2  # quadratic without the guard
+    assert n_mega_col == 59               # star with it
+    assert comp_map(full) == comp_map(collapsed)
+    d.unpersist()
+
+
+def test_minhash_bucket_cap_bounds_candidates_keeps_recall(spark):
+    """max_bucket_rows sub-splits hot DISTINCT-signature buckets by a
+    similarity-sensitive secondary (next band's first minhash row):
+    capped output stays a subset of the exact-verified uncapped truth
+    with >=90% retention, and the identical group (same signature ->
+    same secondary) keeps ALL its pairs."""
+    from udacity_datalake_spark_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _boilerplate_corpus(spark).persist()
+    uncapped = minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    capped = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, max_bucket_rows=30
+    )
+    un = {(r.d1, r.d2) for r in uncapped.collect()}
+    cap = {(r.d1, r.d2) for r in capped.collect()}
+    assert un, "fixture should contain near pairs"
+    assert cap <= un
+    assert len(cap) >= 0.9 * len(un), (len(cap), len(un))
+    mega_pairs = {(a, b) for (a, b) in un if a < 60 and b < 60}
+    assert mega_pairs <= cap
+    d.unpersist()

@@ -272,6 +272,9 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    collapse_exact: bool = False,
+    max_bucket_rows: int | None = None,
+    sub_buckets: int = 64,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -279,9 +282,71 @@ def minhash_lsh_pairs(
     values).  Verification re-computes exact n-gram Jaccard only on the
     candidate set, so the output is deterministic and identical to
     ``ngram_jaccard_pairs`` whenever LSH recall is complete.
+
+    Two occupancy guards for the adversarial 100 TB regimes (both off by
+    default — the exact-banding semantics the oracle-checked queries
+    pin):
+
+    - ``collapse_exact``: identical-text documents share their FULL
+      signature, so no hash can sub-split them and a 30%-identical
+      corpus fans one band bucket into (0.3n)² candidates.  This guard
+      collapses each exact-dup group (md5 of the text, shingle-eligible
+      docs only) to its min-id representative BEFORE banding, runs LSH
+      on unique texts, and emits (rep, member, 1.0) STAR edges for the
+      group — O(n) rows that preserve connected components exactly
+      (members are shingle-identical to their rep, so every cross edge
+      the member had, the rep has).  Component-level consumers (q95/
+      q195 dedup survivors) are invariant; the raw pair SET is not
+      (cross-group pairs surface once at rep level, not |g1|·|g2|
+      times).
+    - ``max_bucket_rows``: buckets of DISTINCT signatures above the cap
+      (near-identical boilerplate — licenses with timestamps, templated
+      spam) are sub-split by a SIMILARITY-SENSITIVE per-band secondary:
+      the first minhash row of the NEXT band.  Two docs agree on that
+      position with probability J, so a J≈0.95 boilerplate pair stays
+      together in most sub-splits while unrelated pile-ups scatter; a
+      pair split apart in one band still collides in other bands (each
+      band uses a different secondary position) — the same
+      graceful-degradation contract as the embedding path's
+      ``_lsh_near_dup_pairs`` cap, but minhash-native (a hash of the
+      signature would be similarity-blind and cut J<1 recall hard).
+      Identical signatures always share every position, so exact-dup
+      recall is never cut (their blowup is ``collapse_exact``'s job).
+      ``sub_buckets`` coarsens the secondary via pmod to bound the
+      sub-bucket key space.
     """
     rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    star = None
+    base = df
+    if collapse_exact:
+        # ONE corpus fingerprint pass with a single shuffle (window on
+        # the md5 group), persisted: the rep tag feeds both the star
+        # expansion and the rep-only base — carrying the text through
+        # means NO join is needed to rebuild the collapsed corpus
+        w_rep = F.min(id_col).over(Window.partitionBy("__fp"))
+        tagged = (
+            spread(df)
+            .where(F.size(tokens(text_col)) >= n)
+            .select(
+                F.col(id_col),
+                F.col(text_col),
+                F.md5(F.col(text_col)).alias("__fp"),
+            )
+            .select(F.col(id_col), F.col(text_col), w_rep.alias("__rep"))
+            .persist()
+        )
+        star = (
+            tagged.where(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("d1"),
+                F.col(id_col).alias("d2"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        base = tagged.where(F.col(id_col) == F.col("__rep")).select(
+            id_col, text_col
+        )
+    sig = minhash_signatures(base, id_col, text_col, n, k)
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -292,13 +357,50 @@ def minhash_lsh_pairs(
     )
     # stack bands into rows — ONE self-equi-join on (band_idx, band_hash)
     # instead of `bands` separate joins each recomputing the signature plan
-    banded = sig.select(
-        F.col(id_col), F.posexplode(band_hashes).alias("__band_idx", "__band_hash")
-    ).persist()
-    l = banded.select(F.col(id_col).alias("d1"), "__band_idx", "__band_hash")
-    r = banded.select(F.col(id_col).alias("d2"), "__band_idx", "__band_hash")
+    if max_bucket_rows is not None:
+        # per-band secondary = first minhash row of the NEXT band,
+        # zipped in so the explode carries exactly one extra long
+        sec_hashes = F.array(
+            *[
+                F.col(f"__h{((b + 1) % bands) * rows_per_band}")
+                for b in range(bands)
+            ]
+        )
+        banded = sig.select(
+            F.col(id_col),
+            F.posexplode(F.arrays_zip(band_hashes, sec_hashes)).alias(
+                "__band_idx", "__z"
+            ),
+        ).select(
+            id_col,
+            "__band_idx",
+            F.col("__z.0").alias("__band_hash"),
+            F.pmod(F.col("__z.1"), F.lit(sub_buckets)).alias("__sec"),
+        ).persist()
+        sizes = banded.groupBy("__band_idx", "__band_hash").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        # bucket-count-sized join (NOT broadcast: bucket cardinality is
+        # corpus-scale); co-partitioned with the candidate self-join below
+        banded = banded.join(sizes, ["__band_idx", "__band_hash"]).select(
+            id_col,
+            "__band_idx",
+            "__band_hash",
+            F.when(F.col("__bn") > max_bucket_rows, F.col("__sec"))
+            .otherwise(F.lit(-1))
+            .alias("__sub"),
+        )
+        join_keys = ["__band_idx", "__band_hash", "__sub"]
+    else:
+        banded = sig.select(
+            F.col(id_col),
+            F.posexplode(band_hashes).alias("__band_idx", "__band_hash"),
+        ).persist()
+        join_keys = ["__band_idx", "__band_hash"]
+    l = banded.withColumnRenamed(id_col, "d1")
+    r = banded.withColumnRenamed(id_col, "d2")
     candidates = (
-        l.join(r, ["__band_idx", "__band_hash"])
+        l.join(r, join_keys)
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
@@ -311,14 +413,14 @@ def minhash_lsh_pairs(
     # exploded string-keyed shuffle (the exchange carries one array per
     # doc, and only for docs that appear in a candidate pair)
     arrs = (
-        spread(df)
+        spread(base)
         .where(F.size(tokens(text_col)) >= n)
         .select(F.col(id_col), shingles(text_col, n).alias("__arr"))
         .withColumn("__sz", F.size("__arr"))
         .persist()  # feeds both candidate joins — shingle once, not twice
     )
     jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
-    return (
+    verified = (
         candidates.join(
             arrs.select(F.col(id_col).alias("d1"), F.col("__arr").alias("__a1"),
                         F.col("__sz").alias("__sz1")),
@@ -335,6 +437,37 @@ def minhash_lsh_pairs(
         )
         .select("d1", "d2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+    return verified.unionByName(star) if star is not None else verified
+
+
+def minhash_band_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Per-band bucket-occupancy diagnostic for the MinHash LSH index:
+    (band, max_bucket, n_buckets, candidate_pairs) where candidate_pairs
+    = Σ C(size, 2) over the band's buckets — the exact self-join fan-out
+    the band would contribute.  The MinHash twin of the embedding path's
+    ``lsh_bucket_stats``: a 30%-identical corpus shows up as max_bucket
+    ≈ 0.3·n with quadratic candidate_pairs, the alert a 100 TB dedup
+    deployment fires BEFORE running the candidate join (then mitigates
+    with ``collapse_exact`` / ``max_bucket_rows``)."""
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    banded = _banded(sig, id_col, k, bands)
+    per_bucket = banded.groupBy("__band_idx", "__band_hash").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return per_bucket.groupBy(F.col("__band_idx").alias("band")).agg(
+        F.max("__n").cast("long").alias("max_bucket"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum((F.col("__n") * (F.col("__n") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("candidate_pairs"),
     )
 
 
