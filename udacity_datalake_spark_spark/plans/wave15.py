@@ -294,6 +294,7 @@ def triangles(
     edges: DataFrame,
     orientation: str = "auto",
     wedge_budget: int = 1_000_000,
+    packable_ids: bool = False,
 ) -> DataFrame:
     """Single-row triangle count of an undirected (u < w) edge list via
     an oriented wedge join.  Two orientations, both exact (the count is
@@ -341,6 +342,30 @@ def triangles(
         # with p < q, closed by the edge p→q.  Each triangle a < b < c
         # appears exactly once as the wedge (b, c) at a.
         o = edges.select(F.col("u").alias("a"), F.col("w").alias("b"))
+        if packable_ids:
+            # caller guarantees ids < 2^31: pack the wedge endpoint pair
+            # into ONE int64 (p·2^32 + q) so the wedge aggregate and the
+            # closing join shuffle half the key width — at 100 TB the
+            # wedge exchange is the dominant byte volume of this plan
+            w1 = o.select("a", F.col("b").alias("p"))
+            w2 = o.select("a", F.col("b").alias("q"))
+            wedges = (
+                w1.join(w2, "a")
+                .where(F.col("p") < F.col("q"))
+                .select(
+                    (F.col("p") * F.lit(4294967296) + F.col("q")).alias("__pq")
+                )
+                .groupBy("__pq")
+                .agg(F.count(F.lit(1)).alias("__n_wedges"))
+            )
+            closing = o.select(
+                (F.col("a") * F.lit(4294967296) + F.col("b")).alias("__pq")
+            )
+            return wedges.join(closing, "__pq").agg(
+                F.coalesce(F.sum("__n_wedges"), F.lit(0))
+                .cast("long")
+                .alias("n_triangles")
+            )
         w1 = o.select("a", F.col("b").alias("p"))
         w2 = o.select("a", F.col("b").alias("q"))
         wedge_cond = F.col("p") < F.col("q")
@@ -427,7 +452,7 @@ def q212_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m, wedges_id = int(s.m or 0), int(s.wedges_id or 0)
     orientation = "id" if wedges_id <= max(256 * m, 1_000_000) else "degree"
-    tri = triangles(edges, orientation=orientation)
+    tri = triangles(edges, orientation=orientation, packable_ids=True)
     return tri.select(
         F.lit(int(s.n_nodes)).cast("long").alias("n_nodes"),
         F.lit(m).cast("long").alias("n_edges"),
