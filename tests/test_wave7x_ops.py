@@ -221,3 +221,70 @@ def test_apriori_prefilter_gate_result_invariant(spark):
     # junk items are singletons — no junk triple can be frequent
     assert all(not p1.startswith("junk") for p1, _, _, _ in filtered)
     items.unpersist()
+
+
+def test_bpe_merges_planted_and_greedy(spark):
+    """BPE merge table on a corpus with known pair counts: ('a','b')
+    dominates round 1 (overlap-counted), the merged symbol pairs with
+    itself in round 2, and training STOPS when no pairs remain (the
+    rounds budget is an upper bound, not a row count)."""
+    from udacity_datalake_spark_spark.plans.wave78 import bpe_merge_table
+
+    words = spark.createDataFrame(
+        [("abab", 10), ("ab", 5), ("cd", 3)], "w string, freq long"
+    )
+    merges = bpe_merge_table(words, rounds=6)
+    assert merges == [(1, "a", "b", 25), (2, "ab", "ab", 10), (3, "c", "d", 3)]
+
+    # greedy left-to-right: 'aaaa' counts 3 overlapping (a,a) pairs but
+    # merges to exactly two 'aa' symbols, which then merge once more
+    runs = spark.createDataFrame([("aaaa", 1)], "w string, freq long")
+    merges = bpe_merge_table(runs, rounds=6)
+    assert merges == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+
+def test_kcore_planted_and_converged(spark):
+    """k-core peel: K4 with a pendant path — the path peels away over
+    two rounds (degree recomputed INSIDE the survivor graph each round,
+    which is what separates k-core from plain degree filtering), the K4
+    survives with core degree 3; and the fixed 8-round schedule is a
+    true upper bound (identical output at 12 rounds)."""
+    from udacity_datalake_spark_spark.plans.wave78 import kcore
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(k4 + [(4, 5), (5, 6)], "u long, w long")
+    got = {(r.node, r.core_degree) for r in kcore(edges, k=3, rounds=8).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+    again = {(r.node, r.core_degree) for r in kcore(edges, k=3, rounds=12).collect()}
+    assert got == again
+
+
+def test_association_rules_planted_confidence_lift(spark, tmp_path):
+    """Planted baskets: 20 orders hold brand X, 10 of them also hold
+    brand Y → conf(Y→X)=1.0, conf(X→Y)=0.5, lift=1.0 both ways."""
+    rows_li, rows_pt = [], [(1, "pX", "X", "T", 1, 1.0), (2, "pY", "Y", "T", 1, 1.0)]
+    for o in range(20):
+        rows_li.append((o, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+        if o < 10:
+            rows_li.append((o, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+    d = str(tmp_path / "fx")
+    spark.createDataFrame(
+        rows_li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        rows_pt,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    from udacity_datalake_spark_spark.plans import QUERIES
+
+    got = {
+        (r.antecedent, r.consequent): (r.confidence, r.lift, r.pair_support)
+        for r in QUERIES["q411_association_rules"](spark, d).collect()
+    }
+    assert got[("Y", "X")] == (1.0, 1.0, 10)
+    assert got[("X", "Y")] == (0.5, 1.0, 10)
