@@ -184,6 +184,10 @@ HEADLINE_FULL = [
     "q363_heaps_law",
     "q372_m4_downsample",
     "q373_apriori_triples",
+    # round-6 wave 78: tokenizer training, graph core, basket rules
+    "q409_bpe_merge_training",
+    "q410_kcore_decomposition",
+    "q411_association_rules",
 ]
 
 
