@@ -197,9 +197,15 @@ def kcore(
     Scale shape: each round is one endpoint-grain aggregate plus two
     semi-joins against the (node-sized, shrinking) keeper set — the
     same per-round cost as one connected-components step; the edge
-    frame localCheckpoints per round so lineage stays flat.  Returns
+    frame localCheckpoints per round so lineage stays flat.  A round
+    that removes no edge is a FIXPOINT (degrees, hence keepers, cannot
+    change again), so the loop breaks early — the fixed-round oracle
+    stays bit-identical because its extra unrolled rounds are no-ops
+    past convergence, and the per-round edge count is one bounded
+    scalar on the already-checkpointed frame.  Returns
     (node, core_degree) for the surviving subgraph."""
     e = edges.localCheckpoint()
+    n_edges = e.count()
     for _ in range(rounds):
         deg = (
             e.select(F.col("u").alias("x"))
@@ -214,6 +220,10 @@ def kcore(
             .select("u", "w")
             .localCheckpoint()
         )
+        n_next = e.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
     return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("w").alias("node")))
