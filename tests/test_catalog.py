@@ -381,6 +381,7 @@ def test_bench_headline_line_fits_tail():
             "unit": "sec",
             "n_queries": len(bench.HEADLINE),
             "sf": 0.1,
+            "calibration_sec": 9999.9999,
         }
     )
     assert len(final_line) < 1800, (
@@ -393,3 +394,33 @@ def test_bench_headline_line_fits_tail():
         assert name in QUERIES, f"HEADLINE_FULL names unregistered query {name}"
     # the frozen set is a subset of the full sweep — diffs stay comparable
     assert set(bench.HEADLINE) <= set(bench.HEADLINE_FULL)
+
+
+def test_bench_mirror_target_policy():
+    """Mirror-target guard (round-7 VERDICT #3 / ADVICE r6): the committed
+    BENCH_LOCAL.json records the 66-query FULL sweep; a frozen-42 driver
+    run must mirror to BENCH_HEADLINE.json instead of clobbering it.
+    Statically asserts bench.py routes the frozen-set mirror away from
+    BENCH_LOCAL.json, and that the committed BENCH_LOCAL.json (when
+    present) is a full-sweep record."""
+    import inspect
+    import json
+    import os
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    # the mirror file name must be chosen by headline set, with the
+    # frozen set routed to BENCH_HEADLINE.json
+    assert 'mirror_name = (' in src and '"BENCH_HEADLINE.json"' in src
+    assert 'if headline is HEADLINE_FULL else "BENCH_HEADLINE.json"' in src
+
+    committed = os.path.join(os.path.dirname(bench.__file__), "BENCH_LOCAL.json")
+    if os.path.exists(committed):
+        with open(committed) as f:
+            record = json.load(f)
+        assert record.get("headline_set") == "full", (
+            "committed BENCH_LOCAL.json is not a full-sweep record — a "
+            "frozen-set run clobbered it; restore from git and re-run "
+            "with SPARK_GRAFT_BENCH_FULL=1"
+        )
