@@ -116,20 +116,13 @@ def main() -> None:
             f"sf0.1 volume spot-run: {n_big_ok}/{len(big_statuses)} MATCH "
             f"({sum(1 for s in big_statuses.values() if s == 'FAIL')} FAIL)"
         )
-        # sf1 skips: queries whose ORACLE is output-quadratic (all-pairs
-        # cosine / payload-hash pair joins in DuckDB) run 5-15 min at
-        # sf1 for no added coverage — each was verified MATCH at sf1
-        # once in round 6 (see SCALE.md); the recurring tier keeps the
-        # sub-3-min rest so it stays runnable every refresh.
-        sf1_skip = {
-            "q56_embedding_near_dup": "r6 one-off MATCH (933s oracle)",
-            "q148_media_phash_pairs": "r6 one-off MATCH (305s oracle)",
-        }
+        # round-7 (VERDICT r6 #2 + ADVICE): the sf1 skip list is RETIRED.
+        # q56's oracle kernel moved to DuckDB's native fixed-width ARRAY
+        # inner product (933 s -> ~45 s) and q148's Spark side moved to
+        # distinct-signature banding (326 s -> ~11 s), so every sensitive
+        # query re-verifies at sf1 on each refresh — no MATCH* asterisks.
         if os.path.isdir(sf1_dir):
             for name in sensitive:
-                if name in sf1_skip:
-                    sf1_statuses[name] = "MATCH*"
-                    continue
                 try:
                     pdf = qs[name](spark, sf1_dir).toPandas()
                     if name in oracles:
@@ -162,10 +155,10 @@ def main() -> None:
             "dedup, moments) at the largest driver-shipped fixture — catches "
             "threshold/overflow effects invisible at sf0.01.  sf1 column: "
             "same subset at the locally generated 10x tier "
-            "(scripts/make_sf1.py) when present (MATCH* = verified once "
-            "in round 6 but skipped on refresh: output-quadratic oracle, "
-            "5-15 min each).  Blank = not in the sensitive subset / tier "
-            "absent.",
+            "(scripts/make_sf1.py) when present — every entry re-verified "
+            "on each refresh (the round-6 MATCH* skip list is retired; "
+            "the q56/q148 oracle+operator rework made them routine).  "
+            "Blank = not in the sensitive subset / tier absent.",
             "",
             "| query | status | sf0.1 | sf1 |",
             "|---|---|---|---|",

@@ -580,29 +580,131 @@ def hamming_band_pairs(
     column (SimHash, perceptual hash, …), banded for scale: split the
     hash into (max_hamming+1) chunks — a pair within the radius must
     agree exactly on at least one chunk (pigeonhole), so candidates come
-    from equi-joins on chunks, never a cross join."""
-    chunks = max_hamming + 1
-    width = 64 // chunks
-    chunk_arr = F.array(
-        *[
-            F.shiftright(F.col(hash_col), i * width).bitwiseAND(F.lit((1 << width) - 1))
-            for i in range(chunks)
-        ]
-    )
-    # stack chunks into rows — one equi-join on (chunk_idx, chunk_value)
-    stacked = sig.select(
-        F.col(id_col), F.col(hash_col), F.posexplode(chunk_arr).alias("__ci", "__ck")
+    from equi-joins on chunks, never a cross join.
+
+    Round-7 scale rework (the sf1 tier caught the old shape at ~300 s on
+    50 k docs; now ~15 s):
+
+    * **Band over DISTINCT signatures when they collapse.**  Signature
+      columns can collapse hard (the sf1 corpus has 12.8 k distinct
+      phashes across 50 k docs — text-derived payloads are identical
+      across exact-dup docs), and identical signatures can never be
+      band-separated, so banding rows squares the redundancy: candidate
+      volume fell 15× by joining unique signatures and expanding id
+      pairs afterwards from the (bounded) matched-signature frame.
+      Gated on the MEASURED collapse ratio (one agg on the persisted
+      projection, approx_count_distinct for the gate scalar): on a
+      low-collapse corpus (sf1 simhash: 49.6 k distinct of 50 k) the
+      extra distinct + two expansion joins are pure overhead (+3×
+      measured), so rows are banded directly there — the round-6
+      measure-before-gating lesson applied.
+    * **Unequal chunk widths so ALL 64 bits participate** — the old
+      uniform 64//chunks width left 64 % chunks high bits out of every
+      band; at radius 10 that meant 11 five-bit bands ignoring 9 bits
+      (32-bucket bands → ~n²·chunks/32 candidates).  The first
+      ``64 % chunks`` chunks get one extra bit; the pigeonhole guarantee
+      (≤ radius differing bits over radius+1 chunks ⇒ ≥1 chunk agrees
+      exactly) is width-agnostic.
+    * **Exact-distance filter BEFORE the pair distinct** — hamming is a
+      function of the signature pair, so filtering first is equivalent
+      but runs map-side in the join output stage; the distinct then
+      shuffles only within-radius signature pairs, never raw band
+      collisions.
+
+    Cache note: one internal ``persist`` on the (id, hash) projection —
+    the signature lineage (often an Arrow-batched media decode) feeds
+    the gate action plus the band/expansion joins, and would otherwise
+    be recomputed per consumer.  Scoped like ``_lsh_near_dup_pairs``:
+    freed by the caller's ``spark.catalog.clearCache()`` between queries
+    (bench/driver_sim do), or lives until session end for library use.
+    Not fully lazy: one bounded gate action (count + approx-distinct on
+    8-byte signatures) runs at build time to pick the regime.
+    """
+    sigp = sig.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
     ).persist()
-    l = stacked.select(F.col(id_col).alias("d1"), F.col(hash_col).alias("__s1"), "__ci", "__ck")
-    r = stacked.select(F.col(id_col).alias("d2"), F.col(hash_col).alias("__s2"), "__ci", "__ck")
+    # gate scalars in ONE action on the frame we must materialize anyway
+    # (approx_count_distinct, not count_distinct — an exact distinct pair
+    # in one agg plans an Expand; the gate only needs the decade)
+    n_rows, n_uniq = sigp.agg(
+        F.count(F.lit(1)), F.approx_count_distinct("__h")
+    ).first()
+
+    chunks = max_hamming + 1
+    base = 64 // chunks
+    extra = 64 - base * chunks
+    widths = [base + 1] * extra + [base] * (chunks - extra)
+    offsets = [sum(widths[:i]) for i in range(chunks)]
+
+    def chunk_arr() -> object:
+        return F.array(
+            *[
+                F.shiftright(F.col("__h"), off).bitwiseAND(F.lit((1 << w) - 1))
+                for off, w in zip(offsets, widths)
+            ]
+        )
+
     hamming = F.bit_count(F.col("__s1").bitwiseXOR(F.col("__s2")))
-    return (
+
+    if n_uniq >= 0.67 * n_rows:
+        # low-collapse regime: band rows directly — the distinct +
+        # expansion joins cost more than they save (measured 3× on the
+        # 99%-distinct sf1 simhash corpus)
+        stacked = sigp.select(
+            "__id", "__h", F.posexplode(chunk_arr()).alias("__ci", "__ck")
+        )
+        l = stacked.select(
+            F.col("__id").alias("d1"), F.col("__h").alias("__s1"), "__ci", "__ck"
+        )
+        r = stacked.select(
+            F.col("__id").alias("d2"), F.col("__h").alias("__s2"), "__ci", "__ck"
+        )
+        return (
+            l.join(r, ["__ci", "__ck"])
+            .where(F.col("d1") < F.col("d2"))
+            .where(hamming <= max_hamming)
+            .select("d1", "d2", hamming.alias("hamming"))
+            .distinct()
+        )
+
+    # high-collapse regime: band over distinct signatures, expand after
+    uniq = sigp.select("__h").distinct()
+    stacked = uniq.select(F.col("__h"), F.posexplode(chunk_arr()).alias("__ci", "__ck"))
+    l = stacked.select(F.col("__h").alias("__s1"), "__ci", "__ck")
+    r = stacked.select(F.col("__h").alias("__s2"), "__ci", "__ck")
+    sig_pairs = (
         l.join(r, ["__ci", "__ck"])
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", hamming.alias("hamming"))
+        .where(F.col("__s1") < F.col("__s2"))
+        .where(hamming <= max_hamming)
+        .select("__s1", "__s2", hamming.alias("hamming"))
         .distinct()
-        .where(F.col("hamming") <= max_hamming)
     )
+
+    # expand matched signature pairs back to id pairs: each id belongs to
+    # exactly one signature group and __s1 != __s2, so every unordered id
+    # pair appears once — canonical (d1 < d2) via least/greatest, no
+    # distinct needed
+    a = sigp.select(F.col("__id").alias("__ida"), F.col("__h").alias("__s1"))
+    b = sigp.select(F.col("__id").alias("__idb"), F.col("__h").alias("__s2"))
+    cross = (
+        sig_pairs.join(a, "__s1")
+        .join(b, "__s2")
+        .select(
+            F.least("__ida", "__idb").alias("d1"),
+            F.greatest("__ida", "__idb").alias("d2"),
+            "hamming",
+        )
+    )
+    # identical-signature groups: every intra-group pair is a true pair
+    # at distance 0 (this is OUTPUT, inherent to the pair contract)
+    s1 = sigp.select(F.col("__id").alias("d1"), "__h")
+    s2 = sigp.select(F.col("__id").alias("d2"), "__h")
+    intra = (
+        s1.join(s2, "__h")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.bit_count(F.lit(0).cast("long")).alias("hamming"))
+    )
+    return cross.unionByName(intra)
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
