@@ -16,8 +16,14 @@ RTOL_OVERRIDES: dict[str, float] = {}
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    spark_pdf = df.toPandas()
+    try:
+        df = QUERIES[name](spark, sf_dir)
+        spark_pdf = df.toPandas()
+    finally:
+        # operator-internal persist() frames are scoped to one query
+        # (the documented clearCache contract driver_sim/bench follow);
+        # clear so the module-level persist-leak gate stays meaningful
+        spark.catalog.clearCache()
     if name not in ORACLE_SQL:
         # rows-only contract for non-SQL-expressible ops
         assert len(spark_pdf) >= 0

@@ -32,6 +32,21 @@ names = st.sampled_from(["a", "b", "c", None])
 locs = st.sampled_from(["x", "y", None])
 
 
+import pytest as _pytest_cache_scope
+
+
+@_pytest_cache_scope.fixture(autouse=True)
+def _scoped_operator_cache(spark):
+    """This module exercises operators whose internal persist() is
+    documented as caller-clears scope (banded dedup / LSH / invariant
+    frames / gate-scalar persists).  Clearing per test honors that
+    contract and keeps the conftest module-level persist-leak gate
+    meaningful: a NEW operator leak in any module WITHOUT this declared
+    scope still fails the suite."""
+    yield
+    spark.catalog.clearCache()
+
+
 def _rows(df):
     return sorted(tuple(str(x) for x in r) for r in df.collect())
 

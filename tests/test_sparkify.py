@@ -26,6 +26,21 @@ from udacity_datalake_spark_spark.sources.readers import read_json_feed
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
+import pytest as _pytest_cache_scope
+
+
+@_pytest_cache_scope.fixture(autouse=True)
+def _scoped_operator_cache(spark):
+    """This module exercises operators whose internal persist() is
+    documented as caller-clears scope (banded dedup / LSH / invariant
+    frames / gate-scalar persists).  Clearing per test honors that
+    contract and keeps the conftest module-level persist-leak gate
+    meaningful: a NEW operator leak in any module WITHOUT this declared
+    scope still fails the suite."""
+    yield
+    spark.catalog.clearCache()
+
+
 @pytest.fixture(scope="module")
 def song_data(spark):
     return read_json_feed(spark, f"{FIXTURES}/song_data.json", SONG_DATA_SCHEMA)

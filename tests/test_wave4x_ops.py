@@ -21,6 +21,21 @@ from udacity_datalake_spark_spark.sources.readers import read_table
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
+import pytest as _pytest_cache_scope
+
+
+@_pytest_cache_scope.fixture(autouse=True)
+def _scoped_operator_cache(spark):
+    """This module exercises operators whose internal persist() is
+    documented as caller-clears scope (banded dedup / LSH / invariant
+    frames / gate-scalar persists).  Clearing per test honors that
+    contract and keeps the conftest module-level persist-leak gate
+    meaningful: a NEW operator leak in any module WITHOUT this declared
+    scope still fails the suite."""
+    yield
+    spark.catalog.clearCache()
+
+
 def _write_docs(spark, tmp_path, rows):
     d = str(tmp_path / "fix")
     spark.createDataFrame(

@@ -12,6 +12,21 @@ from pyspark.sql import functions as F
 from udacity_datalake_spark_spark.plans import QUERIES
 
 
+import pytest as _pytest_cache_scope
+
+
+@_pytest_cache_scope.fixture(autouse=True)
+def _scoped_operator_cache(spark):
+    """This module exercises operators whose internal persist() is
+    documented as caller-clears scope (banded dedup / LSH / invariant
+    frames / gate-scalar persists).  Clearing per test honors that
+    contract and keeps the conftest module-level persist-leak gate
+    meaningful: a NEW operator leak in any module WITHOUT this declared
+    scope still fails the suite."""
+    yield
+    spark.catalog.clearCache()
+
+
 def test_qoi_roundtrip_random_pixels():
     """The QOI encoder/decoder pair must roundtrip arbitrary pixel
     content (random bytes exercise RGB-heavy streams; planted runs and

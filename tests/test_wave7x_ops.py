@@ -10,6 +10,21 @@ from pyspark.sql import functions as F
 from udacity_datalake_spark_spark.plans import QUERIES
 
 
+import pytest as _pytest_cache_scope
+
+
+@_pytest_cache_scope.fixture(autouse=True)
+def _scoped_operator_cache(spark):
+    """This module exercises operators whose internal persist() is
+    documented as caller-clears scope (banded dedup / LSH / invariant
+    frames / gate-scalar persists).  Clearing per test honors that
+    contract and keeps the conftest module-level persist-leak gate
+    meaningful: a NEW operator leak in any module WITHOUT this declared
+    scope still fails the suite."""
+    yield
+    spark.catalog.clearCache()
+
+
 def test_conformal_qhat_order_statistic(spark, tmp_path):
     """q-hat must be the ceil((n+1)(1-alpha))-th smallest calibration
     residual: plant a revenue series whose seasonal-naive residuals are
