@@ -236,28 +236,28 @@ def synthesize_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for rid in pdf[id_col]:
                 rid = int(rid)
                 w, h = 16 + rid % 8, 8 + rid % 5
+                stride = w * 3
                 j = np.arange(w * h * 3, dtype=np.int64)
-                raw = ((rid * 31 + j * 97) % 256).astype(np.uint8).reshape(h, w * 3)
-                stream = bytearray()
-                prior = np.zeros(w * 3, dtype=np.uint8)
-                for r in range(h):
-                    ft = (rid + r) % 3
-                    line = raw[r]
-                    if ft == 0:
-                        filt = line
-                    elif ft == 1:  # Sub: minus the byte 3 (bpp) to the left
-                        left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
-                        filt = (line.astype(np.int16) - left).astype(np.uint8)
-                    else:  # Up: minus the prior scanline
-                        filt = (line.astype(np.int16) - prior).astype(np.uint8)
-                    stream.append(ft)
-                    stream.extend(filt.tobytes())
-                    prior = line
+                raw = ((rid * 31 + j * 97) % 256).astype(np.uint8).reshape(h, stride)
+                # All three filter variants for the whole image at once
+                # (uint8 subtraction wraps mod 256 as the spec requires),
+                # then pick per row by ft = (rid + r) mod 3 — no per-line
+                # Python loop.
+                sub = raw.copy()
+                sub[:, 3:] -= raw[:, :-3]  # Sub: minus byte bpp=3 to the left
+                up = raw.copy()
+                up[1:] -= raw[:-1]  # Up: minus the prior scanline
+                ft = (rid + np.arange(h)) % 3
+                packed = np.empty((h, 1 + stride), dtype=np.uint8)
+                packed[:, 0] = ft
+                packed[:, 1:] = np.where(
+                    (ft == 0)[:, None], raw, np.where((ft == 1)[:, None], sub, up)
+                )
                 ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
                 payloads.append(
                     b"\x89PNG\r\n\x1a\n"
                     + _chunk(b"IHDR", ihdr)
-                    + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + _chunk(b"IDAT", zlib.compress(packed.tobytes(), 1))
                     + _chunk(b"IEND", b"")
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
@@ -426,44 +426,53 @@ def _qoi_decode_rgb(data: bytes):
 def _png_unfilter(stream: bytes, width: int, height: int):
     """Reverse PNG scanline filtering (all five standard types) for an
     8-bit RGB image — returns an (h, w·3) uint8 array.  Pure stdlib +
-    numpy; Sub/Paeth recurrences run per-byte within a scanline (lines
-    are short; the corpus-level parallelism is across rows/batches)."""
+    numpy.  None/Up are vector ops; Sub is a per-color-lane modular
+    prefix sum (recon[x] = Σ line[..x] per lane, uint8 wraparound does
+    the mod), so the three filter types a deflate-era encoder actually
+    emits are all O(stride) numpy with no per-byte Python.  Only
+    Average/Paeth — whose left-neighbor term mixes with the up
+    neighbor and so is inherently sequential — keep the per-byte loop;
+    lines are short and those types never appear in this engine's own
+    payloads."""
     import numpy as np
 
     stride = width * 3
     out = np.zeros((height, stride), dtype=np.uint8)
     pos = 0
-    prior = np.zeros(stride, dtype=np.int16)
+    prior = np.zeros(stride, dtype=np.uint8)
     for r in range(height):
         ft = stream[pos]
         pos += 1
-        line = np.frombuffer(stream, dtype=np.uint8, count=stride, offset=pos).astype(
-            np.int16
-        )
+        line = np.frombuffer(stream, dtype=np.uint8, count=stride, offset=pos)
         pos += stride
         if ft == 0:
             recon = line
-        elif ft == 2:  # Up
-            recon = (line + prior) % 256
-        elif ft in (1, 3, 4):
-            recon = np.zeros(stride, dtype=np.int16)
+        elif ft == 2:  # Up: vector add, uint8 wraps mod 256
+            recon = line + prior
+        elif ft == 1:  # Sub: per-lane running sum; uint8 cumsum wraps mod 256
+            recon = np.cumsum(line.reshape(width, 3), axis=0, dtype=np.uint8).reshape(
+                stride
+            )
+        elif ft in (3, 4):
+            rec = np.zeros(stride, dtype=np.int16)
+            lin = line.astype(np.int16)
+            pri = prior.astype(np.int16)
             for x in range(stride):
-                a = recon[x - 3] if x >= 3 else 0  # left
-                b = prior[x]  # up
-                if ft == 1:  # Sub
-                    pred = a
-                elif ft == 3:  # Average
+                a = rec[x - 3] if x >= 3 else 0  # left
+                b = pri[x]  # up
+                if ft == 3:  # Average
                     pred = (a + b) // 2
                 else:  # Paeth
-                    c = prior[x - 3] if x >= 3 else 0
+                    c = pri[x - 3] if x >= 3 else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                recon[x] = (line[x] + pred) % 256
+                rec[x] = (lin[x] + pred) % 256
+            recon = rec.astype(np.uint8)
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
-        out[r] = recon.astype(np.uint8)
-        prior = recon
+        out[r] = recon
+        prior = out[r]
     return out
 
 

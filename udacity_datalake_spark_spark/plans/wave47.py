@@ -99,33 +99,39 @@ def q311_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dedup pass (Lee et al., "Deduplicating Training
     Data Makes Language Models Better") would cut.
 
-    Scale shape: gram keys shuffle once to find cross-doc duplicates
-    (q94's exchange); the islands windows partition by doc_id, so span
-    merging is key-local with O(1) state per row; everything after is
-    source-grain.  At 100 TB the gram key becomes xxhash64 of the
-    window (8 bytes on the wire) — collisions only over-mark a span,
-    which the exact verify-on-strings here prices."""
+    Scale shape: gram keys shuffle ONCE to find cross-doc duplicates —
+    "occurs in ≥2 distinct docs" is min(doc_id) ≠ max(doc_id) over a
+    gram-partitioned window, so the duplicate tag rides the same
+    exchange that groups the grams (round 7: replaced the groupBy +
+    join-back pair, which re-shuffled the full token-scale gram set a
+    second time; the window form halves gram exchange volume).  The
+    islands windows partition by doc_id, so span merging is key-local
+    with O(1) state per row; everything after is source-grain.  At
+    100 TB the gram key becomes xxhash64 of the window (8 bytes on the
+    wire) — collisions only over-mark a span, which the exact
+    verify-on-strings here prices."""
     d = read_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
     docs = d.select("doc_id", "source", F.split("text", " ").alias("w")).where(
         F.size("w") >= SPAN_W
     )
+    # source is constant per doc and rejoined from `docs` at the end —
+    # keeping it off the gram rows narrows the big exchange.
     grams = docs.select(
         "doc_id",
-        "source",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(w) - {SPAN_W}),"
                 f" i -> concat_ws(' ', slice(w, i + 1, {SPAN_W})))"
             )
         ).alias("p0", "g"),
-    ).select("doc_id", "source", (F.col("p0") + 1).alias("p"), "g")
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("g")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "g")
+    w_gram = Window.partitionBy("g")
+    hits = (
+        grams.withColumn("__mn", F.min("doc_id").over(w_gram))
+        .withColumn("__mx", F.max("doc_id").over(w_gram))
+        .where(F.col("__mn") != F.col("__mx"))
+        .select("doc_id", "p")
     )
-    hits = grams.join(dup, "g").select("doc_id", "source", "p")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("p")
@@ -147,10 +153,10 @@ def q311_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_run)
         .cast("long"),
     )
-    spans = islands.groupBy("doc_id", "source", "island").agg(
+    spans = islands.groupBy("doc_id", "island").agg(
         F.min("p").alias("s"), (F.max("p") + SPAN_W - 1).alias("e")
     )
-    per_doc = spans.groupBy("doc_id", "source").agg(
+    per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("covered"),
     )

@@ -435,10 +435,13 @@ def q179_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     down-weight boilerplate at mixing time.
 
     Distinct (doc, gram) pairs are built array-side before the one
-    gram-keyed exchange; first-occurrence is a min() aggregate
-    (map-combined), joined back on the same gram partitioning, and the
-    per-doc rollup is the second and final exchange.  Exchange volume is
-    bounded by distinct grams, not corpus size."""
+    gram-keyed exchange; first-occurrence is min(doc_id) over a
+    gram-partitioned WINDOW, so the novelty tag rides the same exchange
+    that groups the grams (round 7: replaced the min() groupBy +
+    join-back pair, which re-shuffled the full distinct-pair set a
+    second time — the window form halves gram exchange volume); the
+    per-doc rollup is the second and final exchange.  Exchange volume
+    is bounded by distinct (doc, gram) pairs, not corpus size."""
     k = 3
     d = (
         read_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
@@ -456,15 +459,18 @@ def q179_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    first_doc = F.min("doc_id").over(Window.partitionBy("gram"))
+    tagged = grams.select(
+        "doc_id", F.when(first_doc == F.col("doc_id"), 1).otherwise(0).alias("novel")
+    )
     return (
-        grams.join(firsts, "gram")
-        .groupBy("doc_id")
+        tagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(novel).alias("n_novel"),
-            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+            F.sum("novel").alias("n_novel"),
+            F.round(
+                F.sum("novel").cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
         )
     )
 
