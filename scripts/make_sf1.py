@@ -22,7 +22,32 @@ re-run is byte-identical), derived ONLY from the public fixture:
   norms and within-replica cosines are EXACTLY preserved; cross-replica
   similarity decorrelates.  label keeps its cluster semantics.
 
-Usage: python scripts/make_sf1.py [out_dir]   (default .localdata/sf1)
+Round 8 adds the DIM-GROWN tier (VERDICT r7 item #2): ``--grow-dims``
+writes .localdata/sf1d where the DIMENSIONS grow 10x too — the fact-only
+sf1 tier left q07/q212/q217/q222/q319/q373's true scaling term (the
+customer/supplier/part key space) unmeasured beyond sf0.1.
+Construction: 10 DISJOINT ISOMORPHIC copies of the relational universe —
+replica r offsets every key (custkey +r*15000, suppkey +r*1000,
+partkey +r*20000, nationkey +r*25, orderkey +r*150000) and facts attach
+to THEIR replica's dims, so each replica reproduces sf0.1's exact join/
+graph structure on fresh keys:
+- the co-supply graph gets 10x nodes AND 10x edges with identical
+  per-replica topology (triangles/wedges grow exactly 10x — the honest
+  linear-growth yardstick for the graph operators);
+- p_brand gets a '#r' suffix per replica -> 250-brand universe (the
+  Apriori itemset space grows 10x);
+- acctbal shifts by +r*100000 in BOTH customer and supplier, so q07's
+  equality arms match within a replica exactly as at sf0.1 and NEVER
+  across replicas (without the shift the OR-join output would grow
+  x100 = replicas^2, a fixture artifact, not a workload property);
+- nation grows with the replicas (n_nationkey +r*25, region stays 5
+  rows with regionkey preserved) so customer/supplier nationkeys stay
+  referentially intact.
+Only the relational tables are emitted for sf1d (the dim-bound subset
+touches nothing else); corpus tables come from the sf1 tier.
+
+Usage: python scripts/make_sf1.py [out_dir]              (default .localdata/sf1)
+       python scripts/make_sf1.py --grow-dims [out_dir]  (default .localdata/sf1d)
 """
 
 from __future__ import annotations
@@ -38,7 +63,11 @@ DIM = 64
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf1"
+    argv = sys.argv[1:]
+    grow_dims = "--grow-dims" in argv
+    argv = [a for a in argv if a != "--grow-dims"]
+    default_out = "/root/repo/.localdata/" + ("sf1d" if grow_dims else "sf1")
+    out = argv[0] if argv else default_out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE OR REPLACE VIEW reps AS SELECT unnest(range({REPLICAS})) AS r")
@@ -51,6 +80,71 @@ def main() -> None:
             f"SELECT count(*) FROM '{out}/{name}.parquet'"
         ).fetchone()[0]
         print(f"  {name}: {n} rows")
+
+    if grow_dims:
+        write("region", f"SELECT * FROM '{SRC}/region.parquet'")
+        write(
+            "nation",
+            f"""
+            SELECT n_nationkey + r * 25 AS n_nationkey,
+                   CASE WHEN r = 0 THEN n_name ELSE n_name || '#' || r END AS n_name,
+                   n_regionkey
+            FROM '{SRC}/nation.parquet', reps
+            """,
+        )
+        write(
+            "customer",
+            f"""
+            SELECT c_custkey + r * 15000 AS c_custkey,
+                   CASE WHEN r = 0 THEN c_name ELSE c_name || '#' || r END AS c_name,
+                   c_nationkey + r * 25 AS c_nationkey,
+                   c_acctbal + r * 100000 AS c_acctbal,
+                   c_mktsegment
+            FROM '{SRC}/customer.parquet', reps
+            """,
+        )
+        write(
+            "supplier",
+            f"""
+            SELECT s_suppkey + r * 1000 AS s_suppkey,
+                   CASE WHEN r = 0 THEN s_name ELSE s_name || '#' || r END AS s_name,
+                   s_nationkey + r * 25 AS s_nationkey,
+                   s_acctbal + r * 100000 AS s_acctbal
+            FROM '{SRC}/supplier.parquet', reps
+            """,
+        )
+        write(
+            "part",
+            f"""
+            SELECT p_partkey + r * 20000 AS p_partkey,
+                   CASE WHEN r = 0 THEN p_name ELSE p_name || '#' || r END AS p_name,
+                   CASE WHEN r = 0 THEN p_brand ELSE p_brand || '#' || r END AS p_brand,
+                   p_type, p_size, p_retailprice
+            FROM '{SRC}/part.parquet', reps
+            """,
+        )
+        write(
+            "orders",
+            f"""
+            SELECT o_orderkey + r * 150000 AS o_orderkey,
+                   o_custkey + r * 15000 AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM '{SRC}/orders.parquet', reps
+            """,
+        )
+        write(
+            "lineitem",
+            f"""
+            SELECT l_orderkey + r * 150000 AS l_orderkey,
+                   l_partkey + r * 20000 AS l_partkey,
+                   l_suppkey + r * 1000 AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM '{SRC}/lineitem.parquet', reps
+            """,
+        )
+        print(f"wrote {out}")
+        return
 
     for dim_table in ("region", "nation", "customer", "supplier", "part"):
         write(dim_table, f"SELECT * FROM '{SRC}/{dim_table}.parquet'")

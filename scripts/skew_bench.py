@@ -36,7 +36,27 @@ Output: one JSON line {"metric": "skew_slopes", "slopes": {...},
 "flagged_ge20x": [...], "small_secs": {...}, "big_secs": {...}} —
 recorded as a table in SCALE.md.
 
-Usage: python scripts/skew_bench.py
+Round 8 (`--sf1`, VERDICT r7 #3): the adversarial corpus at the SECOND
+decade — 50 000 skewed docs (10× the big tier), the .localdata/sf1
+lineitem (6 M rows) with the same ~10% hot key, and the clustered
+embedding corpus at 10× vectors for the bucket-guarded ANN paths.  Two
+deliberate, logged deviations from a blind ×10:
+
+- q56 (embedding near-dup): the mega-cluster makes the TRUE answer
+  quadratic in vectors — ×10 vectors means ×100 output rows, and no
+  plan outruns its own output.  The q56 tier therefore grows VECTORS
+  ×√10 so the OUTPUT grows ×10 (the measured decade is the output,
+  which is the scale variable of an output-bound operator); the run
+  also records n_pairs per tier so sec-per-pair is visible — flat
+  sec-per-pair IS the output-bound proof.
+- q48 (brute-force cosine top-k) is SKIPPED at this tier and logged:
+  it is the documented Θ(n²)-compute baseline (one BLAS matmul over
+  all pairs); its decade is priced by the FLOP model, and the scale
+  paths under guard here are q49 (LSH) and q60 (IVF).
+
+Usage: python scripts/skew_bench.py          # sf0.01→sf0.1 decade
+       python scripts/skew_bench.py --sf1    # sf0.1→sf1 decade
+                                             # (needs .localdata/sf1)
 """
 
 from __future__ import annotations
@@ -160,12 +180,176 @@ def build_fixture(spark, base_sf_dir: str, out_dir: str, n_docs: int) -> None:
             os.symlink(os.path.join(base_sf_dir, t), dst)
 
 
+def _time_query(spark, QUERIES, name: str, sf_dir: str, repeats: int = 2) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return round(best, 4)
+
+
+def run_sf1_tier(spark, tmp: str) -> None:
+    """The adversarial decade above: big (5k docs / sf0.1 facts / 20k
+    vecs) → huge (50k docs / sf1 facts / guarded-ANN 200k vecs; q56 on
+    a √10-vector = 10×-output corpus).  Prints one JSON line
+    {"metric": "skew_slopes_sf1", ...} for the SCALE.md table."""
+    from pyspark.sql import functions as F
+
+    from udacity_datalake_spark_spark.plans import QUERIES
+
+    sf1_dir = "/root/repo/.localdata/sf1"
+    if not os.path.isdir(sf1_dir):
+        sys.exit("--sf1 needs .localdata/sf1 — run scripts/make_sf1.py first")
+
+    big, huge = f"{tmp}/big", f"{tmp}/huge"
+    build_fixture(spark, "/root/testdata/sf0.1", big, 5000)
+    build_fixture(spark, sf1_dir, huge, 50000)
+
+    # q56's output-decade corpus: vectors ×√10 vs big → true pair count
+    # (quadratic in the mega-cluster) grows ×10.  Everything else in the
+    # dir symlinks to the huge fixture.
+    huge_q56 = f"{tmp}/huge_q56"
+    os.makedirs(huge_q56, exist_ok=True)
+    n_vec_q56 = int(4 * 5000 * (10 ** 0.5))  # 20 000 × √10 ≈ 63 245
+    spark.createDataFrame(
+        build_clustered_embeddings(n_vec_q56),
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(8).write.mode("overwrite").parquet(f"{huge_q56}/embeddings.parquet")
+    for t in os.listdir(huge):
+        dst = os.path.join(huge_q56, t)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(huge, t), dst)
+
+    corpus_queries = [
+        "q38_salted_join",
+        "q45_ngram_jaccard",
+        "q95_dedup_corpus",
+        "q109_hot_key_skew_join",
+        "q148_media_phash_pairs",
+        "q195_curation_pipeline",
+        "q301_sparse_cosine_topk",
+        "q49_ann_lsh",
+        "q60_ann_ivf",
+    ]
+    skipped = {
+        "q48_embedding_topk": "documented Θ(n²)-compute BLAS baseline; "
+        "scale paths q49/q60 measured instead"
+    }
+
+    # warm-up on the big tier (same plan shapes)
+    for name in corpus_queries + ["q56_embedding_near_dup"]:
+        _time_query(spark, QUERIES, name, big, repeats=1)
+
+    big_secs: dict[str, float] = {}
+    huge_secs: dict[str, float] = {}
+    for name in corpus_queries:
+        big_secs[name] = _time_query(spark, QUERIES, name, big)
+        huge_secs[name] = _time_query(spark, QUERIES, name, huge)
+        print(
+            f"  {name}: big {big_secs[name]}s  huge {huge_secs[name]}s  "
+            f"slope {round(huge_secs[name] / big_secs[name], 2)}"
+        )
+        sys.stdout.flush()
+
+    # q56: time on the output-decade corpus and record n_pairs per tier
+    big_secs["q56_embedding_near_dup"] = _time_query(
+        spark, QUERIES, "q56_embedding_near_dup", big
+    )
+    huge_secs["q56_embedding_near_dup"] = _time_query(
+        spark, QUERIES, "q56_embedding_near_dup", huge_q56
+    )
+    pairs_big = QUERIES["q56_embedding_near_dup"](spark, big).count()
+    spark.catalog.clearCache()
+    pairs_huge = QUERIES["q56_embedding_near_dup"](spark, huge_q56).count()
+    spark.catalog.clearCache()
+    q56 = {
+        "n_vecs": {"big": 20000, "huge": n_vec_q56},
+        "n_pairs": {"big": pairs_big, "huge": pairs_huge},
+        "sec_per_mpair": {
+            "big": round(big_secs["q56_embedding_near_dup"] * 1e6 / pairs_big, 3),
+            "huge": round(huge_secs["q56_embedding_near_dup"] * 1e6 / pairs_huge, 3),
+        },
+    }
+    print(f"  q56 output-bound evidence: {q56}")
+
+    slopes = {
+        n: round(huge_secs[n] / big_secs[n], 2) if big_secs[n] > 0 else 0.0
+        for n in huge_secs
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "skew_slopes_sf1",
+                "slopes": slopes,
+                "flagged_ge20x": [n for n, s in slopes.items() if s >= 20.0],
+                "big_secs": big_secs,
+                "huge_secs": huge_secs,
+                "q56_output_bound": q56,
+                "skipped": skipped,
+            }
+        )
+    )
+
+    # collapse_exact guard at the decade: 50k docs, 30% byte-exact
+    # copies of 20 masters (750 docs/group).  Only the collapse mode
+    # runs here — guard-OFF's quadratic is already priced at the big
+    # tier (every identical group fans C(group,2) in EVERY band); at
+    # this tier it would only re-prove the blowup more slowly.
+    from udacity_datalake_spark_spark.operators.dedup import minhash_lsh_pairs
+    from udacity_datalake_spark_spark.operators.graph import connected_components
+
+    def dedup_secs(sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            edges = minhash_lsh_pairs(
+                d, "doc_id", "text", n=3, threshold=0.6, collapse_exact=True
+            )
+            labels = connected_components(edges, src="d1", dst="d2")
+            losers = labels.where(F.col("node") != F.col("component")).select(
+                F.col("node").alias("loser")
+            )
+            d.join(
+                F.broadcast(losers), F.col("doc_id") == F.col("loser"), "left_anti"
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return round(best, 4)
+
+    big_x, huge_x = f"{tmp}/big_exact", f"{tmp}/huge_exact"
+    for out_dir, n_docs in ((big_x, 5000), (huge_x, 50000)):
+        os.makedirs(out_dir, exist_ok=True)
+        spark.createDataFrame(
+            build_skewed_documents(n_docs, exact_spam=True),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(8).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    dedup_secs(big_x)  # warm
+    s_big, s_huge = dedup_secs(big_x), dedup_secs(huge_x)
+    print(
+        json.dumps(
+            {
+                "metric": "minhash_collapse_guard_sf1",
+                "big_secs": s_big,
+                "huge_secs": s_huge,
+                "slope": round(s_huge / s_big, 2) if s_big > 0 else 0.0,
+            }
+        )
+    )
+
+
 def main() -> None:
     from udacity_datalake_spark_spark.plans import QUERIES
     from udacity_datalake_spark_spark.session import get_session
 
     spark = get_session(app_name="skew-bench")
     tmp = tempfile.mkdtemp(prefix="skewfix-")
+    if "--sf1" in sys.argv:
+        run_sf1_tier(spark, tmp)
+        spark.stop()
+        return
     small, big = f"{tmp}/small", f"{tmp}/big"
     build_fixture(spark, "/root/testdata/sf0.01", small, 500)
     build_fixture(spark, "/root/testdata/sf0.1", big, 5000)

@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from udacity_datalake_spark_spark.plans import QUERIES
 from udacity_datalake_spark_spark.session import get_session
 
@@ -21,6 +23,17 @@ def main() -> None:
     names = sys.argv[1:]
     if not names:
         print("usage: solo_bench.py <query-name> [...]", file=sys.stderr)
+        sys.exit(2)
+    # Validate BEFORE starting the (expensive) Spark session: an unknown
+    # name used to raise a raw KeyError from the warm-up loop after the
+    # JVM was already up (ADVICE r7).
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(
+            f"unknown query name(s): {', '.join(unknown)} "
+            f"(registry has {len(QUERIES)} queries, q01..q411)",
+            file=sys.stderr,
+        )
         sys.exit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))

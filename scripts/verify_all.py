@@ -1,0 +1,90 @@
+"""One-command repro entry (round-8 VERDICT #7): every evidence artifact
+the judge reads, regenerated in one invocation with a one-line PASS/FAIL
+per stage.  Exit 0 iff every stage passes.
+
+Stages (each a subprocess, so one stage's Spark session never bleeds
+into the next):
+  1. suite     — sharded pytest (scripts/run_tests_sharded.py; records
+                 wall time in SUITE_TIME.jsonl)
+  2. driver    — full-registry correctness sim at sf0.01
+                 (scripts/driver_sim.py --summary → CORRECTNESS_LOCAL.md)
+  3. bench     — frozen-42 headline sweep at sf0.1 (bench.py →
+                 BENCH_HEADLINE.json + bench_history.jsonl; applies the
+                 normalized-regression rule vs BENCH_REF.json)
+The slower tier scripts (bench_sf1.py, bench_sf1d.py, skew_bench.py)
+are opt-in via --tiers; they need the .localdata fixtures
+(scripts/make_sf1.py [--grow-dims]) and a verifiably idle host.
+
+Usage: python scripts/verify_all.py [--skip suite,driver,bench] [--tiers]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STAGES: list[tuple[str, list[str]]] = [
+    ("suite", [sys.executable, "scripts/run_tests_sharded.py"]),
+    ("driver", [sys.executable, "scripts/driver_sim.py", "--summary"]),
+    ("bench", [sys.executable, "bench.py"]),
+]
+TIER_STAGES: list[tuple[str, list[str]]] = [
+    ("bench_sf1", [sys.executable, "scripts/bench_sf1.py"]),
+    ("bench_sf1d", [sys.executable, "scripts/bench_sf1d.py"]),
+]
+
+
+def main() -> None:
+    skip = set()
+    for i, a in enumerate(sys.argv):
+        if a == "--skip" and i + 1 < len(sys.argv):
+            skip = set(sys.argv[i + 1].split(","))
+    stages = [(n, c) for n, c in STAGES if n not in skip]
+    if "--tiers" in sys.argv:
+        stages += [(n, c) for n, c in TIER_STAGES if n not in skip]
+
+    results: list[tuple[str, bool, float, str]] = []
+    for name, cmd in stages:
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True
+        )
+        wall = round(time.perf_counter() - t0, 1)
+        ok = proc.returncode == 0
+        last = ""
+        for line in reversed(proc.stdout.splitlines()):
+            if line.strip():
+                last = line.strip()[:200]
+                break
+        # bench PASS additionally requires the pinned regression rule to
+        # come back clean: the final JSON line carries the count
+        if ok and name == "bench":
+            try:
+                parsed = json.loads(last)
+                n_reg = parsed.get("n_regressed_normalized", 0)
+                if n_reg:
+                    ok = False
+                    last += f"  ({n_reg} queries regressed >1.3x normalized)"
+            except ValueError:
+                pass
+        results.append((name, ok, wall, last))
+        print(f"[{name}] {'PASS' if ok else 'FAIL'} {wall}s  {last}")
+        if not ok:
+            print(proc.stdout[-3000:])
+            print(proc.stderr[-2000:], file=sys.stderr)
+    all_ok = all(ok for _, ok, _, _ in results)
+    print(
+        "verify_all: "
+        + ("ALL PASS" if all_ok else "FAILURES: "
+           + ",".join(n for n, ok, _, _ in results if not ok))
+    )
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -382,6 +382,7 @@ def test_bench_headline_line_fits_tail():
             "n_queries": len(bench.HEADLINE),
             "sf": 0.1,
             "calibration_sec": 9999.9999,
+            "n_regressed_normalized": 42,
         }
     )
     assert len(final_line) < 1800, (
@@ -424,3 +425,115 @@ def test_bench_mirror_target_policy():
             "frozen-set run clobbered it; restore from git and re-run "
             "with SPARK_GRAFT_BENCH_FULL=1"
         )
+
+
+def test_bench_regression_rule():
+    """Regression-rule pin (round-8 VERDICT #1): drift is adjudicated on
+    NORMALIZED numbers (raw_sec / calibration probe), never raw — the
+    committed BENCH_REF.json is the clean-window reference, the flag
+    ratio is 1.3x, and the reference itself must have been taken in a
+    clean window (probe <= REF_PROBE_CEILING) and cover every frozen-42
+    query, else the rule silently stops guarding."""
+    import json
+    import os
+
+    import bench
+
+    assert bench.REGRESSION_FLAG_RATIO == 1.3, (
+        "the normalized-regression flag bar is policy (SCALE.md r8) — "
+        "change it there first"
+    )
+    ref_path = os.path.join(os.path.dirname(bench.__file__), bench.REF_NAME)
+    assert os.path.exists(ref_path), (
+        "BENCH_REF.json missing — the normalized-regression rule has no "
+        "reference; re-run bench.py in a clean window and commit it"
+    )
+    with open(ref_path) as f:
+        ref = json.load(f)
+    probe = ref.get("calibration", {}).get("mean_sec")
+    assert probe is not None and probe <= bench.REF_PROBE_CEILING, (
+        f"BENCH_REF.json was taken with probe {probe}s > ceiling "
+        f"{bench.REF_PROBE_CEILING}s — a throttled reference normalizes "
+        "future regressions away; retake it on an idle host"
+    )
+    # the reference's own window must have been UNIFORM (normalization
+    # is meaningless across a mid-sweep throttle transition)
+    s, e = ref["calibration"]["start_sec"], ref["calibration"]["end_sec"]
+    assert max(s, e) / min(s, e) <= bench.CAL_UNIFORM_MAX_RATIO, (
+        f"BENCH_REF.json probe window non-uniform (start {s}s / end {e}s)"
+    )
+    ref_norm = ref.get("queries_normalized", {})
+    missing = [n for n in bench.HEADLINE if n not in ref_norm]
+    assert not missing, f"BENCH_REF.json lacks normalized refs for {missing}"
+    # the rule must act on the normalized dict, not raw timings
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "for n, v in normalized.items():" in src
+    assert "REGRESSION_FLAG_RATIO" in src
+
+
+def test_bench_history_series():
+    """Committed round-over-round series (round-8 VERDICT #6): bench runs
+    append to bench_history.jsonl so normalized per-query diffs r6→r7→r8
+    never depend on the driver's 2000-char stdout tail.  The committed
+    file must parse line-wise and contain the reconstructed r06/r07
+    frozen-42 entries."""
+    import json
+    import os
+
+    import bench
+
+    path = os.path.join(os.path.dirname(bench.__file__), bench.HISTORY_NAME)
+    assert os.path.exists(path), "bench_history.jsonl missing"
+    rounds = set()
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            assert "queries" in rec and "total_sec" in rec
+            rounds.add(rec.get("round"))
+    assert {"r06", "r07"} <= rounds, (
+        "seeded r06/r07 reconstruction entries missing from bench_history"
+    )
+    src = __import__("inspect").getsource(bench.main)
+    assert "HISTORY_NAME" in src, "bench.main no longer appends history"
+
+
+def test_sharded_runner_covers_all_test_modules():
+    """The sharded runner (round-8 VERDICT #4) must not silently drop a
+    test module: every tests/test_*.py file appears in exactly one
+    shard, and the parity shards partition the registry (round-robin
+    0/2 + 1/2 over the same sorted list)."""
+    import glob
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_tests_sharded",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "run_tests_sharded.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    covered: list[str] = []
+    parity_shards = []
+    for name, targets, env in mod.SHARDS:
+        covered.extend(os.path.basename(t) for t in targets)
+        if "SPARK_GRAFT_PARITY_SHARD" in env:
+            parity_shards.append(env["SPARK_GRAFT_PARITY_SHARD"])
+    repo_tests = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(os.path.dirname(__file__), "test_*.py"))
+    )
+    # parity file appears once per parity shard; everything else exactly once
+    for t in repo_tests:
+        expected = len(parity_shards) if t == "test_oracle_parity.py" else 1
+        assert covered.count(t) == expected, (
+            f"{t} appears {covered.count(t)}x in the shard plan "
+            f"(expected {expected}) — update scripts/run_tests_sharded.py"
+        )
+    # the parity shards must partition: i/n for i in 0..n-1, one n
+    ns = {s.split("/")[1] for s in parity_shards}
+    assert len(ns) == 1
+    n = int(next(iter(ns)))
+    assert sorted(int(s.split("/")[0]) for s in parity_shards) == list(range(n))

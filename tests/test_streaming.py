@@ -576,3 +576,75 @@ def test_streaming_m4_downsample_equals_batch(spark, events_dir):
     batch = m4_window_agg(spark.read.parquet(events_dir))
     cols = ["window_start", "window_end", "n_points", "v_min", "v_max", "v_first", "v_last"]
     assert _as_sorted_rows(streamed, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_stream_crash_mid_batch_exactly_once(spark, tmp_path):
+    """Streaming failure-semantics parity with the batch writer story
+    (round-8 VERDICT #5, the companion of tests/test_writer_retry.py):
+    the sink callback dies AFTER writing partial epoch output but BEFORE
+    the epoch's offsets commit; a restart from the same checkpoint must
+    replay the epoch under the SAME id and the epoch-keyed overwrite must
+    repair the partial directory — final table state exactly-once, not
+    at-least-once.
+
+    Contract under test: Structured Streaming writes the batch's offset
+    range to the checkpoint WAL before invoking foreachBatch and commits
+    it only after the callback returns, so a mid-callback crash replays
+    the identical (id, offset-range) pair on restart; sinks.
+    epoch_keyed_batch_writer turns that replay into an idempotent
+    directory overwrite."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from udacity_datalake_spark_spark.sources.pyds import EVENTS_PER_DAY, register
+    from udacity_datalake_spark_spark.streaming.sinks import (
+        epoch_keyed_batch_writer,
+        read_epoch_keyed,
+    )
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    marker = tmp_path / "crash_fired"
+    inner = epoch_keyed_batch_writer(out)
+
+    def poisoned(df, epoch_id):
+        if not marker.exists():
+            # write a PARTIAL epoch directory (half the rows), then die
+            # before returning — the checkpoint never commits this epoch
+            df.limit(EVENTS_PER_DAY // 2).write.mode("overwrite").parquet(
+                f"{out}/epoch={epoch_id}"
+            )
+            marker.write_text("fired")
+            raise RuntimeError("injected mid-batch sink crash")
+        inner(df, epoch_id)
+
+    def start(n_days):
+        return (
+            spark.readStream.format("synthevents")
+            .option("n_days", str(n_days))
+            .load()
+            .writeStream.foreachBatch(poisoned)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start(2)
+    with pytest.raises(StreamingQueryException):
+        q1.awaitTermination()
+    assert marker.exists(), "injected crash never fired — scenario vacuous"
+    # partial output really is on disk (the failure left a torn epoch)
+    torn = read_epoch_keyed(spark, out).count()
+    assert 0 < torn < 2 * EVENTS_PER_DAY, f"expected a torn epoch, saw {torn} rows"
+
+    # restart from the same checkpoint: the torn epoch replays under its
+    # original id and overwrites itself; the drain then completes
+    q2 = start(2)
+    q2.awaitTermination()
+
+    got = read_epoch_keyed(spark, out)
+    batch = spark.read.format("synthevents").option("n_days", "2").load()
+    n = batch.count()
+    assert got.count() == n == 2 * EVENTS_PER_DAY, "exactly-once violated (dup/hole)"
+    assert got.select("event_id").distinct().count() == n, "duplicate event_ids"
+    assert {r.event_id for r in got.collect()} == {r.event_id for r in batch.collect()}

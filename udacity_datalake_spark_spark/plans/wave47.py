@@ -104,7 +104,15 @@ def q311_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram-partitioned window, so the duplicate tag rides the same
     exchange that groups the grams (round 7: replaced the groupBy +
     join-back pair, which re-shuffled the full token-scale gram set a
-    second time; the window form halves gram exchange volume).  The
+    second time; the window form halves gram exchange volume).
+    Trade-off (ADVICE r7): an unframed Window.partitionBy('g') makes
+    WindowExec sort and buffer every occurrence of a gram per key
+    before emitting — it gives up the old groupBy's map-side partial
+    aggregation, so a pathologically duplicated gram (one phrase in
+    millions of docs) buffers its full occurrence list on one task.
+    The win is one exchange instead of two; the exposure is per-key
+    buffering on mega-duplicated grams — at that skew tier, pre-salt
+    the gram key or fall back to the groupBy+join form.  The
     islands windows partition by doc_id, so span merging is key-local
     with O(1) state per row; everything after is source-grain.  At
     100 TB the gram key becomes xxhash64 of the window (8 bytes on the
