@@ -76,6 +76,13 @@ def get_session(
         .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Python worker fork + connect-back must survive a saturated
+        # host: the 15s default SocketTimeout flaked one streaming test
+        # when four concurrent local[8] suites oversubscribed 32 cores
+        # (r8 sharded-suite run) — and a busy multi-tenant executor at
+        # 1000-node scale is the same condition, so the widened window
+        # is the production posture, not a test hack.
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
