@@ -283,6 +283,33 @@ def _forbidden_to_pandas(self):
     raise AssertionError("toPandas() called on the LSH near-dup path")
 
 
+def test_near_dup_broadcast_tiling_bit_identical(spark, sf_dir):
+    """The broadcast kernel tiles its matmul over rows × columns so peak
+    memory per task is constant in corpus size (round 8: the untiled
+    batch×n block hit ×2.8 sec-per-pair at n=63k — SKEW_SF1.json).
+    Tiling splits M/N, never the K reduction, so pair frames must be
+    BIT-identical for any tile size — exercised here with tiles far
+    smaller than the corpus so every boundary path runs (partial last
+    tile, empty tiles, cross-tile id masking)."""
+    from udacity_datalake_spark_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    untiled = {
+        (r.id_a, r.id_b): r.sim
+        for r in cosine_near_dup_pairs(
+            emb, prefilter="broadcast", row_tile=10**9, col_tile=10**9
+        ).collect()
+    }
+    tiled = {
+        (r.id_a, r.id_b): r.sim
+        for r in cosine_near_dup_pairs(
+            emb, prefilter="broadcast", row_tile=3, col_tile=7
+        ).collect()
+    }
+    assert len(untiled) > 0, "fixture should contain near-dup pairs"
+    assert tiled == untiled, "tiling changed the emitted pair frame"
+
+
 def test_near_dup_auto_picks_lsh_above_threshold(spark, sf_dir):
     """auto mode must route above-broadcast-scale corpora to the LSH
     path — asserted by forbidding driver-side collection entirely."""

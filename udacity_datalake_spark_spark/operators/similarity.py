@@ -384,6 +384,8 @@ def cosine_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     max_bucket_rows: int | None = None,
+    row_tile: int = 2048,
+    col_tile: int = 8192,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (id_a < id_b, sim ≥ τ) with a
     size-dependent physical strategy:
@@ -447,24 +449,56 @@ def cosine_near_dup_pairs(
         ]
     )
 
+    # Tile the similarity matmul so peak memory per task is CONSTANT in
+    # corpus size.  An untiled `a @ all_mat.T` materializes a
+    # (arrow_batch × n) float64 block — 5 GB per task at n = 63k with
+    # 10k-row batches, and ×32 concurrent tasks that is the whole heap:
+    # the sf1 skew tier measured sec-per-Mpair rising ×2.8 on ×10 output
+    # from exactly this (SKEW_SF1.json, round 8).  Tiling over rows ×
+    # columns bounds the live block at ROW_TILE × COL_TILE × 8 B
+    # (134 MB) regardless of n; each output cell is still the same
+    # full-K dot product, so the emitted sims are bit-identical
+    # (tiling splits M/N, never the K reduction).
+    ROW_TILE, COL_TILE = row_tile, col_tile
+
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+        n = all_mat.shape[0]
         for pdf in batches:
-            a_ids = pdf[id_col].to_numpy()
-            a = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            a_norms = np.sqrt((a * a).sum(axis=1))
-            sims = (a @ all_mat.T) / (a_norms[:, None] * all_norms[None, :])
-            # upper triangle by id + threshold
-            keep_r, keep_c = np.where(sims >= threshold)
-            mask = a_ids[keep_r] < all_ids[keep_c]
-            keep_r, keep_c = keep_r[mask], keep_c[mask]
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[keep_r].astype("int64"),
-                    "id_b": all_ids[keep_c].astype("int64"),
-                    "sim": np.round(sims[keep_r, keep_c], 6),
-                }
-            )
+            ids_full = pdf[id_col].to_numpy()
+            mat_full = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            for r0 in range(0, len(ids_full), ROW_TILE):
+                a_ids = ids_full[r0 : r0 + ROW_TILE]
+                a = mat_full[r0 : r0 + ROW_TILE]
+                a_norms = np.sqrt((a * a).sum(axis=1))
+                parts_a: list[np.ndarray] = []
+                parts_b: list[np.ndarray] = []
+                parts_s: list[np.ndarray] = []
+                for c0 in range(0, n, COL_TILE):
+                    c_ids = all_ids[c0 : c0 + COL_TILE]
+                    sims = (a @ all_mat[c0 : c0 + COL_TILE].T) / (
+                        a_norms[:, None] * all_norms[None, c0 : c0 + COL_TILE]
+                    )
+                    # upper triangle by id + threshold
+                    keep_r, keep_c = np.where(sims >= threshold)
+                    if keep_r.size:
+                        mask = a_ids[keep_r] < c_ids[keep_c]
+                        keep_r, keep_c = keep_r[mask], keep_c[mask]
+                        parts_a.append(a_ids[keep_r].astype("int64"))
+                        parts_b.append(c_ids[keep_c].astype("int64"))
+                        parts_s.append(np.round(sims[keep_r, keep_c], 6))
+                empty_i = np.array([], dtype="int64")
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(parts_a) if parts_a else empty_i,
+                        "id_b": np.concatenate(parts_b) if parts_b else empty_i,
+                        "sim": (
+                            np.concatenate(parts_s)
+                            if parts_s
+                            else np.array([], dtype="float64")
+                        ),
+                    }
+                )
 
     return corpus.mapInPandas(block, out_schema)
 
