@@ -471,6 +471,34 @@ def test_bench_regression_rule():
     src = inspect.getsource(bench.main)
     assert "for n, v in normalized.items():" in src
     assert "REGRESSION_FLAG_RATIO" in src
+    # persistence rule (late r8): confirmed regressions must come from
+    # _confirm_regressed (two consecutive uniform windows), not from the
+    # single-sweep candidate list
+    assert "_confirm_regressed(" in src
+    assert "_prior_uniform_normalized(" in src
+
+
+def test_bench_regression_persistence_rule():
+    """A drift flag counts only when it reproduces across two
+    consecutive uniform windows: single-window min-of-5 swings measured
+    ×0.38-1.70 on byte-identical code (SCALE.md r8), so one window is
+    never evidence.  Candidates without a prior measurement stay
+    unconfirmed; a reference refresh between sweeps stays coherent
+    because prior drift is recomputed against the CURRENT reference."""
+    import bench
+
+    ref_norm = {"qA": 10.0, "qB": 10.0, "qC": 10.0}
+    # qA: prior window also >1.3x -> confirmed.  qB: prior window was
+    # fine -> candidate only.  qC: no prior measurement -> unconfirmed.
+    prior = {"qA": 14.0, "qB": 10.2}
+    out = bench._confirm_regressed(["qA", "qB", "qC"], prior, ref_norm)
+    assert out == ["qA"]
+    assert bench._confirm_regressed(["qA"], {}, ref_norm) == []
+    # prior lookup: most recent committed uniform entry of the same
+    # sf/set must exist in bench_history.jsonl for the frozen-42 series
+    got = bench._prior_uniform_normalized(0.1, "frozen42")
+    assert got, "bench_history.jsonl has no uniform frozen42 sf0.1 entry"
+    assert all(isinstance(v, (int, float)) for v in got.values())
 
 
 def test_bench_history_series():
