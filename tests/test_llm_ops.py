@@ -568,6 +568,74 @@ def test_minhash_auto_collapse_gate(spark):
     spark.catalog.clearCache()
 
 
+def test_ngram_jaccard_collapse_exact_output_invariant(spark):
+    """ngram_jaccard_pairs(collapse_exact=True) must reproduce the EXACT
+    pair set of the base path — unlike the minhash star collapse, the
+    q45 contract is the full pair list, so the collapse verifies each
+    distinct-text pair once and fans back out through group membership
+    (round 8, SKEW_SF1.json: 463 s -> re-verified-once at 50 k docs).
+    Planted corpus covers every expansion path: intra-group all-pairs
+    (jaccard exactly 1.0), cross-group products between two dup groups,
+    dup-group x unique-text pairs, id-order flips across groups, and a
+    below-shingle-floor dup group that must vanish entirely."""
+    from udacity_datalake_spark_spark.operators.dedup import ngram_jaccard_pairs
+
+    ta = " ".join(f"tok{w}" for w in range(20))
+    tb = ta + " tail0"                      # near-dup of A (J ~ 18/20)
+    rows = []
+    rows += [(100 + i, ta) for i in range(8)]          # group A (8 copies)
+    rows += [(50 + i, tb) for i in range(5)]           # group B (5 copies)
+    rows += [(200 + i, " ".join(f"u{i}w{w}" for w in range(15))) for i in range(20)]
+    rows += [(300 + i, "too short") for i in range(4)]  # < n tokens: excluded
+    rows.append((400, ta + " tail0 tail1"))             # unique near-dup of B
+    d = spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+    def pairset(df):
+        return {(r.d1, r.d2, round(r.jaccard, 9)) for r in df.collect()}
+
+    base = pairset(ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6))
+    coll = pairset(
+        ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.6, collapse_exact=True
+        )
+    )
+    assert base, "fixture should contain qualifying pairs"
+    assert coll == base, "collapse changed the pair set"
+    # intra-A all-pairs at jaccard exactly 1.0
+    intra_a = {(a, b, 1.0) for a in range(100, 108) for b in range(a + 1, 108)}
+    assert intra_a <= coll
+    # cross-group A x B pairs exist and flipped id order (B ids < A ids)
+    # was handled — d1 < d2 must hold everywhere
+    assert any(p[0] in range(50, 55) and p[1] in range(100, 108) for p in coll)
+    assert all(p[0] < p[1] for p in coll)
+    # the short-text dup group contributed nothing
+    assert not any(p[0] >= 300 and p[0] < 310 for p in coll)
+    d.unpersist()
+    spark.catalog.clearCache()
+
+    # auto gate: on an all-distinct corpus the plan must be identical to
+    # collapse-off (no fingerprint overhead) — same promise as minhash
+    import re
+
+    rows = [(i, " ".join(f"doc{i}tok{w}" for w in range(30))) for i in range(200)]
+    dd = spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+    def norm_plan(df):
+        return re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    auto_plan = norm_plan(
+        ngram_jaccard_pairs(
+            dd, "doc_id", "text", n=3, threshold=0.6, collapse_exact="auto"
+        )
+    )
+    off_plan = norm_plan(ngram_jaccard_pairs(dd, "doc_id", "text", n=3, threshold=0.6))
+    assert auto_plan == off_plan, "auto gate added plan overhead on distinct corpus"
+    dd.unpersist()
+    spark.catalog.clearCache()
+
+
 def test_minhash_bucket_cap_bounds_candidates_keeps_recall(spark):
     """max_bucket_rows sub-splits hot DISTINCT-signature buckets by a
     similarity-sensitive secondary (next band's first minhash row):

@@ -156,19 +156,102 @@ def ngram_jaccard_components(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    collapse_exact: bool | str = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard ≥ threshold):
     ``ngram_jaccard_components`` candidates with the exact Jaccard test as
     the sole admission criterion — the prefix-filter rewrite changes
-    cost, never results."""
-    comp = ngram_jaccard_components(df, id_col, text_col, n, threshold)
-    jac = F.col("__inter").cast("double") / (
-        F.col("__sz1") + F.col("__sz2") - F.col("__inter")
+    cost, never results.
+
+    ``collapse_exact`` (round 8 — the q45 twin of ``minhash_lsh_pairs``'s
+    guard, SKEW_SF1.json): Jaccard depends ONLY on the shingle set, so
+    byte-identical texts are interchangeable — on a duplicate-heavy
+    corpus the verify stage burns its time re-intersecting the SAME two
+    arrays |g1|·|g2| times (the sf1 skew tier measured 463 s at 50 k
+    docs whose 30% spam held only 140 distinct texts).  With the guard
+    on, the PPJoin candidate+verify pipeline runs over DISTINCT texts
+    only (min-id representative per md5 group), then the admitted rep
+    pairs fan back out through group membership (cross-group products +
+    intra-group all-pairs at jaccard 1.0).  Unlike the minhash star
+    collapse this expansion reproduces the EXACT pair set — the q45
+    contract — so it is output-invariant, not just
+    component-invariant (test-pinned bit-identical).  ``"auto"``
+    measures the identical-text share with the same single bounded agg
+    as the minhash guard and collapses at ≥ 5%; the 99.8%-distinct
+    driver fixture skips it, so registered plans are unchanged.
+
+    Cache note: when the collapse is enabled the fingerprint pass stays
+    persisted for the life of the returned frame (rep base + both
+    expansions consume it lazily); freed by the caller's
+    ``spark.catalog.clearCache()`` between queries, same scoping as
+    ``minhash_lsh_pairs``."""
+    if collapse_exact == "auto":
+        n_rows, n_uniq = df.agg(
+            F.count(F.lit(1)), F.approx_count_distinct(F.col(text_col))
+        ).first()
+        collapse_exact = n_rows > 0 and (n_rows - n_uniq) >= 0.05 * n_rows
+    if not collapse_exact:
+        comp = ngram_jaccard_components(df, id_col, text_col, n, threshold)
+        jac = F.col("__inter").cast("double") / (
+            F.col("__sz1") + F.col("__sz2") - F.col("__inter")
+        )
+        return comp.select("d1", "d2", jac.alias("jaccard")).where(
+            F.col("jaccard") >= threshold
+        )
+
+    # one fingerprint pass, one shuffle (window on the md5 group): rep =
+    # min id per identical text, restricted to shingle-eligible docs so
+    # group membership matches exactly what the base path would verify
+    w_rep = F.min(id_col).over(Window.partitionBy("__fp"))
+    tagged = (
+        spread(df)
+        .where(F.size(tokens(text_col)) >= n)
+        .select(F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__fp"))
+        .select(F.col(id_col), F.col(text_col), w_rep.alias("__rep"))
+        .persist()
     )
-    return comp.select("d1", "d2", jac.alias("jaccard")).where(
-        F.col("jaccard") >= threshold
+    reps = tagged.where(F.col(id_col) == F.col("__rep")).select(id_col, text_col)
+    rep_pairs = ngram_jaccard_pairs(
+        reps, id_col, text_col, n, threshold, collapse_exact=False
     )
+    members = tagged.select(F.col("__rep"), F.col(id_col).alias("__member"))
+
+    # cross-group expansion: every admitted rep pair holds for every
+    # (member of g1) × (member of g2); re-order ids after the fan-out
+    # (jaccard is symmetric, so only the (d1 < d2) convention moves)
+    m1 = members.select(F.col("__rep").alias("d1"), F.col("__member").alias("__i"))
+    m2 = members.select(F.col("__rep").alias("d2"), F.col("__member").alias("__j"))
+    cross = (
+        rep_pairs.join(m1, "d1")
+        .join(m2, "d2")
+        .select(
+            F.least("__i", "__j").alias("d1"),
+            F.greatest("__i", "__j").alias("d2"),
+            "jaccard",
+        )
+    )
+    # intra-group expansion: identical texts ⇒ jaccard exactly 1.0
+    g2 = members.select(
+        F.col("__rep").alias("__rep2"), F.col("__member").alias("__j")
+    )
+    intra = (
+        members.join(
+            g2,
+            (F.col("__rep") == F.col("__rep2"))
+            & (F.col("__member") < F.col("__j")),
+        )
+        .select(
+            F.col("__member").alias("d1"),
+            F.col("__j").alias("d2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def shingle_containment_pairs(

@@ -186,9 +186,15 @@ def q44_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q45_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def q45_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs ≥ 0.6 via shingle equi-join —
-    quadratic only within shared-shingle buckets, never a cross join."""
+    quadratic only within shared-shingle buckets, never a cross join.
+    collapse_exact='auto' (round 8): duplicate-heavy corpora verify each
+    distinct-text pair ONCE and fan out through group membership —
+    output-invariant by construction; the gate skips the collapse on
+    the ~fully-distinct driver fixture (plan unchanged there)."""
     d = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, collapse_exact="auto"
+    )
 
 
 @query("q46_minhash_lsh", oracle=_JACCARD_ORACLE)
