@@ -1,0 +1,110 @@
+"""Full-registry slope sweep: time EVERY registered query at sf0.01 and
+sf0.1 and record the per-query decade slope.
+
+Why this exists (round 8): the frozen-42 headline set answers "did the
+representative queries drift round-over-round", and BENCH_LOCAL's
+69-query full sweep covers the operator families' slowest members — but
+~340 of the 411 registered plans had never been TIMED at two scales.
+Correctness says they compute the right answer at sf0.01; only a slope
+says none of them hides a candidate blowup that ignites on 10× data.
+This sweep is the completeness twin of the headline bench: one pass,
+min-of-2 per tier, ≥20× flags, written to BENCH_REGISTRY.json (committed
+once per round — at ~30 min it is a round artifact, not a per-sweep one).
+
+Probe context (codegen + shuffle, sweep start/end) is recorded so a
+throttled window is visible inside the artifact, same as bench.py; raw
+seconds here are NOT normalized or drift-adjudicated — the only decision
+this artifact feeds is the slope flag, which is an intra-session ratio
+and therefore host-mode-invariant to first order.
+
+Usage: python scripts/bench_registry.py            # all 411
+       python scripts/bench_registry.py q21 q30    # substring subset
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _calibration_probe, _shuffle_probe  # noqa: E402
+from udacity_datalake_spark_spark.plans import QUERIES  # noqa: E402
+from udacity_datalake_spark_spark.session import get_session  # noqa: E402
+
+SMALL = "/root/testdata/sf0.01"
+BIG = "/root/testdata/sf0.1"
+OUT = "/root/repo/BENCH_REGISTRY.json"
+
+
+def _time(spark, name: str, sf_dir: str, repeats: int = 2) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return round(best, 4)
+
+
+def main() -> None:
+    subs = sys.argv[1:]
+    names = sorted(n for n in QUERIES if not subs or any(s in n for s in subs))
+    spark = get_session(app_name="udacity-datalake-spark-bench-registry")
+    cal_start, shuf_start = _calibration_probe(spark), _shuffle_probe(spark)
+
+    small: dict[str, float] = {}
+    big: dict[str, float] = {}
+    t_sweep = time.perf_counter()
+    for i, name in enumerate(names, 1):
+        # small tier first: it doubles as the warm-up for the plan shape
+        small[name] = _time(spark, name, SMALL)
+        big[name] = _time(spark, name, BIG)
+        slope = round(big[name] / small[name], 2) if small[name] > 0 else 0.0
+        print(
+            f"  [{i}/{len(names)}] {name}: sf0.01 {small[name]}s  "
+            f"sf0.1 {big[name]}s  slope {slope}"
+        )
+        sys.stdout.flush()
+
+    cal_end, shuf_end = _calibration_probe(spark), _shuffle_probe(spark)
+    slopes = {
+        n: round(big[n] / small[n], 2) if small[n] > 0 else 0.0 for n in names
+    }
+    flagged = sorted(n for n, s in slopes.items() if s >= 20.0)
+    artifact = {
+        "metric": "registry_slopes_sf001_sf01",
+        "n_queries": len(names),
+        "subset": subs or None,
+        "total_big_sec": round(sum(big.values()), 2),
+        "total_small_sec": round(sum(small.values()), 2),
+        "sweep_wall_sec": round(time.perf_counter() - t_sweep, 1),
+        "flagged_ge20x": flagged,
+        "slopes": slopes,
+        "big_secs": big,
+        "small_secs": small,
+        "calibration": {"start": cal_start, "end": cal_end},
+        "shuffle_probe": {"start": shuf_start, "end": shuf_end},
+    }
+    if not subs:
+        with open(OUT, "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=True)
+        print(f"wrote {OUT}")
+    # compact final line (full dicts live in the file, not stdout)
+    print(
+        json.dumps(
+            {
+                "metric": "registry_slopes_sf001_sf01",
+                "n_queries": len(names),
+                "total_big_sec": artifact["total_big_sec"],
+                "flagged_ge20x": flagged,
+                "max_slope": max(slopes.values()) if slopes else 0.0,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,16 @@ from udacity_datalake_spark_spark.session import get_session
 from tests.oracle import assert_frames_match, run_oracle
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--summary"]
+    argv = [a for a in sys.argv[1:] if a not in ("--summary", "--full-volume")]
     write_summary = "--summary" in sys.argv[1:]
+    # --full-volume (round 8): run the WHOLE registry at sf0.1, not just
+    # the data-sensitive subset — upgrades the sf0.1 column from a
+    # 50-query spot-check to full-surface volume verification.  The sf1
+    # tier stays on the sensitive subset (its marginal value is
+    # threshold/overflow physics, which the subset targets; a full sf1
+    # pass would re-run 361 data-insensitive relational plans on 10x
+    # rows for no new information).
+    full_volume = "--full-volume" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     spark = get_session(app_name="driver-sim")
 
@@ -97,7 +105,8 @@ def main() -> None:
                 )
             )
         ]
-        for name in sensitive:
+        big_list = sorted(qs) if full_volume else sensitive
+        for name in big_list:
             try:
                 pdf = qs[name](spark, big_dir).toPandas()
                 if name in oracles:
@@ -150,9 +159,16 @@ def main() -> None:
             f"({len(statuses)} queries; {n_ok} MATCH, {n_rows_only} rows-only, "
             f"{len(failures)} FAIL; volume spot-run: {len(big_failures)} FAIL)",
             "",
-            f"sf0.1 column: volume spot-run of the {len(big_statuses)} "
-            "data-sensitive queries (quantiles, sketches, sampling, LSH/ANN, "
-            "dedup, moments) at the largest driver-shipped fixture — catches "
+            (
+                f"sf0.1 column: FULL-registry volume run ({len(big_statuses)} "
+                "queries) at the largest driver-shipped fixture"
+                if full_volume
+                else f"sf0.1 column: volume spot-run of the {len(big_statuses)} "
+                "data-sensitive queries (quantiles, sketches, sampling, "
+                "LSH/ANN, dedup, moments) at the largest driver-shipped "
+                "fixture"
+            )
+            + " — catches "
             "threshold/overflow effects invisible at sf0.01.  sf1 column: "
             "same subset at the locally generated 10x tier "
             "(scripts/make_sf1.py) when present — every entry re-verified "

@@ -340,12 +340,87 @@ def run_sf1_tier(spark, tmp: str) -> None:
     )
 
 
+def run_q148_evidence(spark, tmp: str) -> None:
+    """Output-bound proof for q148 at the skew sf1 decade — the q56
+    pattern applied to the media-phash pair job.  The committed
+    SKEW_SF1.json slope (16.3 on ×10 docs) was READ as "pair output
+    grows ~×100 like q45's", but never measured: q148's registered
+    query returns a 1-row invariant frame, so its output volume is
+    invisible in the sweep.  This mode rebuilds the SAME seeded corpora
+    (build_skewed_documents, seed 7 — byte-identical to the timing
+    run's fixtures), runs the raw pair operator per tier, and records
+    n_pairs + sec-per-Mpair: flat-or-falling sec-per-Mpair on a
+    super-linear pair decade is the output-bound proof; rising means a
+    real super-linear compute term the slope alone can't distinguish.
+
+    Usage: python scripts/skew_bench.py --q148-evidence
+    """
+    from udacity_datalake_spark_spark.operators.dedup import hamming_band_pairs
+    from udacity_datalake_spark_spark.operators.multimodal import (
+        perceptual_hash64,
+        with_binary_payload,
+    )
+
+    tiers = {"big": 5000, "huge": 50000}
+    dirs: dict[str, str] = {}
+    for tier, n_docs in tiers.items():
+        out_dir = f"{tmp}/{tier}_q148"
+        os.makedirs(out_dir, exist_ok=True)
+        spark.createDataFrame(
+            build_skewed_documents(n_docs),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(8).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+        dirs[tier] = out_dir
+
+    def pair_job(sf_dir: str):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sig = perceptual_hash64(with_binary_payload(d), id_col="doc_id")
+        return hamming_band_pairs(sig, "doc_id", "phash", max_hamming=10)
+
+    pair_job(dirs["big"]).write.format("noop").mode("overwrite").save()  # warm
+    spark.catalog.clearCache()
+    secs: dict[str, float] = {}
+    n_pairs: dict[str, int] = {}
+    for tier in tiers:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pair_job(dirs[tier]).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        secs[tier] = round(best, 4)
+        n_pairs[tier] = pair_job(dirs[tier]).count()
+        spark.catalog.clearCache()
+    print(
+        json.dumps(
+            {
+                "metric": "q148_output_bound",
+                "n_docs": tiers,
+                "raw_pair_secs": secs,
+                "raw_pair_slope": round(secs["huge"] / secs["big"], 2),
+                "n_pairs": n_pairs,
+                "pair_growth": round(n_pairs["huge"] / max(1, n_pairs["big"]), 1),
+                "sec_per_mpair": {
+                    t: round(secs[t] * 1e6 / max(1, n_pairs[t]), 3) for t in tiers
+                },
+                "note": "raw hamming_band_pairs job only (the registered "
+                "q148 adds invariant checks on top); same seeded corpora "
+                "as the committed SKEW_SF1.json timings",
+            }
+        )
+    )
+
+
 def main() -> None:
     from udacity_datalake_spark_spark.plans import QUERIES
     from udacity_datalake_spark_spark.session import get_session
 
     spark = get_session(app_name="skew-bench")
     tmp = tempfile.mkdtemp(prefix="skewfix-")
+    if "--q148-evidence" in sys.argv:
+        run_q148_evidence(spark, tmp)
+        spark.stop()
+        return
     if "--sf1" in sys.argv:
         run_sf1_tier(spark, tmp)
         spark.stop()
