@@ -36,6 +36,9 @@ STAGES: list[tuple[str, list[str]]] = [
 TIER_STAGES: list[tuple[str, list[str]]] = [
     ("bench_sf1", [sys.executable, "scripts/bench_sf1.py"]),
     ("bench_sf1d", [sys.executable, "scripts/bench_sf1d.py"]),
+    # full-registry slope sweep (round 8): ~30 min, every registered
+    # query timed at sf0.01+sf0.1, >=20x slopes flagged
+    ("bench_registry", [sys.executable, "scripts/bench_registry.py"]),
 ]
 
 
