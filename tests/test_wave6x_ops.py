@@ -254,3 +254,48 @@ def test_partition_modularity_two_cliques(spark, tmp_path):
     assert r.intra_edges == 6  # the bridge is the only cross-nation edge
     assert r.n_communities == 2
     assert abs(r.modularity - 0.357143) < 1e-6
+
+
+def test_table_fingerprint_sum_survives_long_overflow(spark, tmp_path):
+    """q374's content sum must accumulate in DECIMAL(38,0): each row's
+    mix is up to ~2.8e14, so a 64-bit sum overflows past a few tens of
+    thousands of rows — the round-8 full-registry sweep caught exactly
+    this (green sf0.01 oracle, ANSI ARITHMETIC_OVERFLOW at sf0.1).
+    Plant the regime: 15 copies of the sf0.01 orders push the true sum
+    past Long.MAX; the expected value comes from DuckDB's hugeint sum
+    of the SAME mix recipe on the original file, scaled by the
+    replication (an independent engine, no decimal-sum circularity)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    reps = 15
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    n = o.count()
+    d = str(tmp_path / "fx")
+    o.crossJoin(spark.range(reps)).drop("id").write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+
+    s = duckdb.sql(
+        f"""
+        SELECT sum(ascii(substring(h, 1, 1)) * 1099511628211
+                 + ascii(substring(h, 3, 1)) * 16777619
+                 + ascii(substring(h, 5, 1)) * 47
+                 + ascii(substring(h, 7, 1)))
+        FROM (
+            SELECT md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(o_custkey AS VARCHAR) || '|' ||
+                       o_orderstatus || '|' ||
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                       CAST(o_orderdate AS VARCHAR) || '|' ||
+                       o_orderpriority) AS h
+            FROM '{sf}/orders.parquet'
+        )
+        """
+    ).fetchone()[0]
+    expected = int(s) * reps
+    assert expected > 2**63 - 1  # the planted premise: a long sum WOULD overflow
+
+    r = QUERIES["q374_table_fingerprint"](spark, d).first()
+    assert r.n_rows == reps * n
+    assert int(r.content_sum) == expected
