@@ -119,15 +119,23 @@ BFS_HOPS = 3
     "q368_khop_reach",
     oracle=f"""
     WITH {COSUPPLY_EDGES_SQL},
-    und AS (SELECT u AS a, w AS b FROM edges UNION ALL SELECT w, u FROM edges),
-    seed AS (SELECT min(u) AS s FROM edges),
-    h1 AS (SELECT DISTINCT n.b AS x FROM und n JOIN seed ON n.a = seed.s),
-    h2 AS (
+    -- MATERIALIZED hop frontiers (round 8): without the hint DuckDB
+    -- INLINES each CTE per reference, so h3 re-expands h2 which
+    -- re-expands h1 which re-expands the edge self-join — plus every
+    -- NOT IN re-expansion — and the exploded join tree spilled >80 GB
+    -- at sf0.1 (the full-volume oracle run died on disk).  Materialized
+    -- once each, the same query answers in ~1 s.
+    und AS MATERIALIZED (
+        SELECT u AS a, w AS b FROM edges UNION ALL SELECT w, u FROM edges),
+    seed AS MATERIALIZED (SELECT min(u) AS s FROM edges),
+    h1 AS MATERIALIZED (
+        SELECT DISTINCT n.b AS x FROM und n JOIN seed ON n.a = seed.s),
+    h2 AS MATERIALIZED (
         SELECT DISTINCT n.b AS x FROM und n JOIN h1 ON n.a = h1.x
         WHERE n.b NOT IN (SELECT x FROM h1)
           AND n.b != (SELECT s FROM seed)
     ),
-    h3 AS (
+    h3 AS MATERIALIZED (
         SELECT DISTINCT n.b AS x FROM und n JOIN h2 ON n.a = h2.x
         WHERE n.b NOT IN (SELECT x FROM h1)
           AND n.b NOT IN (SELECT x FROM h2)
