@@ -170,7 +170,7 @@ def main() -> None:
             )
             + " — catches "
             "threshold/overflow effects invisible at sf0.01.  sf1 column: "
-            "same subset at the locally generated 10x tier "
+            "the data-sensitive subset at the locally generated 10x tier "
             "(scripts/make_sf1.py) when present — every entry re-verified "
             "on each refresh (the round-6 MATCH* skip list is retired; "
             "the q56/q148 oracle+operator rework made them routine).  "
