@@ -257,14 +257,16 @@ def test_partition_modularity_two_cliques(spark, tmp_path):
 
 
 def test_table_fingerprint_sum_survives_long_overflow(spark, tmp_path):
-    """q374's content sum must accumulate in DECIMAL(38,0): each row's
-    mix is up to ~2.8e14, so a 64-bit sum overflows past a few tens of
-    thousands of rows — the round-8 full-registry sweep caught exactly
-    this (green sf0.01 oracle, ANSI ARITHMETIC_OVERFLOW at sf0.1).
-    Plant the regime: 15 copies of the sf0.01 orders push the true sum
-    past Long.MAX; the expected value comes from DuckDB's hugeint sum
-    of the SAME mix recipe on the original file, scaled by the
-    replication (an independent engine, no decimal-sum circularity)."""
+    """q374's content sum must accumulate in DECIMAL(38,0) and reduce
+    mod 2^61-1: each row's mix is up to ~2.8e14, so a plain 64-bit sum
+    overflows past a few tens of thousands of rows — the round-8
+    full-registry sweep caught exactly this (green sf0.01 oracle, ANSI
+    ARITHMETIC_OVERFLOW at sf0.1).  Plant the regime: 15 copies of the
+    sf0.01 orders push the TRUE sum past Long.MAX; the expected digest
+    comes from DuckDB's hugeint sum of the SAME mix recipe on the
+    original file, scaled by the replication and reduced in exact
+    Python int arithmetic (an independent engine, no decimal-sum
+    circularity)."""
     import duckdb
 
     sf = "/root/testdata/sf0.01"
@@ -293,8 +295,9 @@ def test_table_fingerprint_sum_survives_long_overflow(spark, tmp_path):
         )
         """
     ).fetchone()[0]
-    expected = int(s) * reps
-    assert expected > 2**63 - 1  # the planted premise: a long sum WOULD overflow
+    true_sum = int(s) * reps
+    assert true_sum > 2**63 - 1  # the planted premise: a long sum WOULD overflow
+    expected = true_sum % (2**61 - 1)
 
     r = QUERIES["q374_table_fingerprint"](spark, d).first()
     assert r.n_rows == reps * n

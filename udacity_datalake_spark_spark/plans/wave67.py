@@ -287,7 +287,7 @@ def q373_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(mix) AS DECIMAL(38,0)) AS content_sum,
+           CAST(sum(mix) % 2305843009213693951 AS BIGINT) AS content_sum,
            CAST(min(mix) AS BIGINT) AS content_min,
            CAST(max(mix) AS BIGINT) AS content_max
     FROM rowed
@@ -306,12 +306,19 @@ def q374_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond the single-row reduction.  At 100 TB the same
     expression runs per partition-grain for localized diffs.
 
-    The content sum accumulates in DECIMAL(38,0), NOT long: each mix is
-    up to ~2.8e14, so a 64-bit sum overflows past ~33 k rows-worth of
-    max-mix (the round-8 full-registry sweep caught exactly this — ANSI
-    long-sum overflow at sf0.1 after a green sf0.01 oracle run; DuckDB
-    hid it by summing in hugeint).  38 digits carries ~3e23 rows of
-    headroom, and the decimal sum stays a single algebraic aggregate."""
+    The content sum accumulates in DECIMAL(38,0) and reduces modulo the
+    Mersenne prime 2^61-1 into a BIGINT, NOT a plain long sum: each mix
+    is up to ~2.8e14, so a 64-bit sum overflows past ~33 k rows-worth
+    of max-mix (the round-8 full-registry sweep caught exactly this —
+    ANSI long-sum overflow at sf0.1 after a green sf0.01 oracle run;
+    DuckDB hid it by summing in hugeint).  The decimal accumulator has
+    ~3e23 rows of headroom and stays one algebraic aggregate; the
+    modular reduction is the classic table-checksum move — exact
+    integer arithmetic on both engines, change-detection collision
+    probability ~2^-61, and a hash-stable int64 on the wire (a
+    DECIMAL(38,0) output would cross engines as Decimal-vs-float64 and
+    break the driver's value hash — tests/test_oracle_parity.py's
+    dtype-drift guard caught that version)."""
     o = read_table(spark, sf_dir, "orders")
     canon = F.md5(
         F.concat_ws(
@@ -332,9 +339,9 @@ def q374_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(mix.alias("mix")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.col("mix").cast("decimal(38,0)")).cast("decimal(38,0)").alias(
-            "content_sum"
-        ),
+        (F.sum(F.col("mix").cast("decimal(38,0)")) % F.lit(2305843009213693951))
+        .cast("long")
+        .alias("content_sum"),
         F.min("mix").cast("long").alias("content_min"),
         F.max("mix").cast("long").alias("content_max"),
     )
