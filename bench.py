@@ -217,6 +217,18 @@ HEADLINE_FULL = [
 #     sf/headline-set (recomputed against the current reference from
 #     bench_history.jsonl).  Candidates are still printed and mirrored,
 #     so nothing is hidden while unconfirmed.
+#   * DUAL VIEW (second late-r8 amendment): a candidate must exceed the
+#     bar in BOTH views — normalized AND raw-vs-reference-raw — in the
+#     same window (and in the prior window, for confirmation).  The
+#     codegen probe and the exchange/scheduler path throttle
+#     INDEPENDENTLY (measured ×1.5-1.7 mode splits both ways): a
+#     throttle window inflates raw while normalized stays flat (the r7
+#     drift), and a fast-probe window inflates normalized while raw is
+#     flat or better (the 2026-08-16 sweep: total raw 47.0 s vs ref
+#     50.5 s yet 15 normalized "flags" at probe 0.092 vs ref 0.127).  A
+#     real code regression inflates BOTH in EVERY window, so requiring
+#     agreement removes both whole-sweep phantom classes without
+#     loosening either bar.
 REGRESSION_FLAG_RATIO = 1.3
 # this host's observed idle probe norm is 0.05-0.15 s (BENCH_SF1.json's
 # two clean sessions recorded 0.09-0.14 "throughout — idle norm";
@@ -263,19 +275,49 @@ def _prior_uniform_normalized(sf, set_name: str) -> dict:
     return {}
 
 
+def _prior_uniform_raw(sf, set_name: str) -> dict:
+    """Raw-seconds twin of _prior_uniform_normalized, for the dual-view
+    persistence check."""
+    try:
+        with open(os.path.join(os.path.dirname(__file__), HISTORY_NAME)) as f:
+            entries = [json.loads(ln) for ln in f if ln.strip()]
+    except (OSError, ValueError):
+        return {}
+    for e in reversed(entries):
+        if (
+            e.get("sf") == sf
+            and e.get("set") == set_name
+            and e.get("calibration_uniform")
+        ):
+            return e.get("queries", {}) or {}
+    return {}
+
+
 def _confirm_regressed(
-    candidates: list[str], prior_norm: dict, ref_norm: dict
+    candidates: list[str],
+    prior_norm: dict,
+    ref_norm: dict,
+    prior_raw: dict | None = None,
+    ref_raw: dict | None = None,
 ) -> list[str]:
     """Candidates that ALSO exceeded the flag bar in the prior uniform
     sweep (drift recomputed against the CURRENT reference, so a
     reference refresh between sweeps stays coherent).  A candidate with
     no prior measurement stays unconfirmed — one window is never
-    enough."""
+    enough.  When prior_raw/ref_raw are supplied (the dual-view rule,
+    second r8 amendment), the prior window must ALSO show the raw
+    exceedance: a probe-mode swing moves exactly one of the two views,
+    a real regression moves both."""
     out = []
     for n in candidates:
         pv, rv = prior_norm.get(n), ref_norm.get(n)
-        if pv and rv and (pv / rv) > REGRESSION_FLAG_RATIO:
-            out.append(n)
+        if not (pv and rv and (pv / rv) > REGRESSION_FLAG_RATIO):
+            continue
+        if prior_raw is not None and ref_raw is not None:
+            pr, rr = prior_raw.get(n), ref_raw.get(n)
+            if not (pr and rr and (pr / rr) > REGRESSION_FLAG_RATIO):
+                continue
+        out.append(n)
     return out
 
 
@@ -425,24 +467,46 @@ def main() -> None:
         "full" if headline is HEADLINE_FULL else "frozen42"
     )
     ref_norm = ref.get("queries_normalized", {}) if ref_comparable else {}
+    ref_raw = ref.get("queries_raw", {}) if ref_comparable else {}
     drift_vs_ref: dict[str, float] = {}
+    drift_raw_vs_ref: dict[str, float] = {}
     regressed_candidates: list[str] = []
     regressed_normalized: list[str] = []
     if cal_uniform:
+        # Dual-view candidate rule (second r8 amendment): a candidate
+        # must exceed the bar in BOTH the normalized view AND the raw
+        # view.  The codegen probe and the exchange path move
+        # independently (measured ×1.5-1.7 mode splits, SCALE.md r8);
+        # a probe-mode swing inflates exactly ONE view (fast probe →
+        # normalized up while raw is flat/down; throttle → raw up while
+        # normalized is flat), whereas a real code regression inflates
+        # both in every window.  Requiring agreement kills the
+        # whole-sweep phantom classes seen on 2026-08-15 (raw-up) and
+        # 2026-08-16 (normalized-up) without loosening either bar.
         for n, v in normalized.items():
             rv = ref_norm.get(n)
             if rv:
                 drift_vs_ref[n] = round(v / rv, 2)
-                if drift_vs_ref[n] > REGRESSION_FLAG_RATIO:
+                rr = ref_raw.get(n)
+                raw_ratio = (timings[n] / rr) if rr else None
+                if raw_ratio is not None:
+                    drift_raw_vs_ref[n] = round(raw_ratio, 2)
+                if drift_vs_ref[n] > REGRESSION_FLAG_RATIO and (
+                    raw_ratio is None or raw_ratio > REGRESSION_FLAG_RATIO
+                ):
                     regressed_candidates.append(n)
         # persistence rule: confirm only what the PREVIOUS uniform
-        # window also flagged (single-window swings measured ×0.38-1.70
-        # on frozen code — see REGRESSION_FLAG_RATIO note)
-        prior_norm = _prior_uniform_normalized(
-            sf, "full" if headline is HEADLINE_FULL else "frozen42"
-        )
+        # window also flagged — in both views (single-window swings
+        # measured ×0.38-1.70 on frozen code — see REGRESSION_FLAG_RATIO
+        # note)
+        set_name = "full" if headline is HEADLINE_FULL else "frozen42"
+        prior_norm = _prior_uniform_normalized(sf, set_name)
         regressed_normalized = _confirm_regressed(
-            regressed_candidates, prior_norm, ref_norm
+            regressed_candidates,
+            prior_norm,
+            ref_norm,
+            prior_raw=_prior_uniform_raw(sf, set_name),
+            ref_raw=ref_raw,
         )
 
     total = round(sum(timings.values()), 4)
@@ -482,6 +546,7 @@ def main() -> None:
                     "flag_ratio": REGRESSION_FLAG_RATIO,
                     "calibration_uniform": cal_uniform,
                     "drift": drift_vs_ref,
+                    "drift_raw": drift_raw_vs_ref,
                     "regressed_candidates": regressed_candidates,
                     "regressed_normalized": regressed_normalized,
                 }
@@ -531,6 +596,7 @@ def main() -> None:
                     "queries_normalized": normalized,
                     "calibration_uniform": cal_uniform,
                     "drift_vs_ref": drift_vs_ref,
+                    "drift_raw_vs_ref": drift_raw_vs_ref,
                     "regressed_candidates": regressed_candidates,
                     "regressed_normalized": regressed_normalized,
                     "slopes": slopes,

@@ -6,8 +6,10 @@ Stages (each a subprocess, so one stage's Spark session never bleeds
 into the next):
   1. suite     — sharded pytest (scripts/run_tests_sharded.py; records
                  wall time in SUITE_TIME.jsonl)
-  2. driver    — full-registry correctness sim at sf0.01
-                 (scripts/driver_sim.py --summary → CORRECTNESS_LOCAL.md)
+  2. driver    — full-registry correctness sim at sf0.01 AND sf0.1
+                 (scripts/driver_sim.py --summary --full-volume →
+                 CORRECTNESS_LOCAL.md; + sf1 sensitive subset when the
+                 .localdata/sf1 fixture exists)
   3. bench     — frozen-42 headline sweep at sf0.1 (bench.py →
                  BENCH_HEADLINE.json + bench_history.jsonl; applies the
                  normalized-regression rule vs BENCH_REF.json)
@@ -30,7 +32,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 STAGES: list[tuple[str, list[str]]] = [
     ("suite", [sys.executable, "scripts/run_tests_sharded.py"]),
-    ("driver", [sys.executable, "scripts/driver_sim.py", "--summary"]),
+    # --full-volume (round 8): the driver stage verifies the WHOLE
+    # registry at sf0.1 too, not just the data-sensitive subset — its
+    # first run caught q374's long-sum overflow and q368's oracle
+    # spill, both invisible at sf0.01.  Costs ~25 extra minutes; the
+    # stage is the round's correctness bar, so it runs the strong form.
+    ("driver", [sys.executable, "scripts/driver_sim.py", "--summary", "--full-volume"]),
     ("bench", [sys.executable, "bench.py"]),
 ]
 TIER_STAGES: list[tuple[str, list[str]]] = [

@@ -428,12 +428,17 @@ def test_bench_mirror_target_policy():
 
 
 def test_bench_regression_rule():
-    """Regression-rule pin (round-8 VERDICT #1): drift is adjudicated on
-    NORMALIZED numbers (raw_sec / calibration probe), never raw — the
-    committed BENCH_REF.json is the clean-window reference, the flag
-    ratio is 1.3x, and the reference itself must have been taken in a
-    clean window (probe <= REF_PROBE_CEILING) and cover every frozen-42
-    query, else the rule silently stops guarding."""
+    """Regression-rule pin (round-8 VERDICT #1, twice amended): a drift
+    candidate must exceed the 1.3x bar in BOTH the normalized view
+    (raw_sec / calibration probe) AND the raw view (raw_sec / reference
+    raw_sec) of the committed BENCH_REF.json.  The two amendments each
+    killed a measured whole-sweep phantom class on frozen code: the
+    codegen probe and the exchange path move independently (x1.5-1.7
+    mode splits), so a throttle window inflates raw-only and a
+    fast-probe window inflates normalized-only — a real regression
+    inflates both.  The reference itself must have been taken in a
+    clean uniform window (probe <= REF_PROBE_CEILING) and cover every
+    frozen-42 query, else the rule silently stops guarding."""
     import json
     import os
 
@@ -465,17 +470,23 @@ def test_bench_regression_rule():
     ref_norm = ref.get("queries_normalized", {})
     missing = [n for n in bench.HEADLINE if n not in ref_norm]
     assert not missing, f"BENCH_REF.json lacks normalized refs for {missing}"
-    # the rule must act on the normalized dict, not raw timings
+    # the rule must act on the normalized dict AND the raw view
     import inspect
 
     src = inspect.getsource(bench.main)
     assert "for n, v in normalized.items():" in src
     assert "REGRESSION_FLAG_RATIO" in src
+    # dual-view candidate rule (second r8 amendment): the raw ratio vs
+    # BENCH_REF.queries_raw must gate the candidate alongside normalized
+    assert "raw_ratio" in src and "queries_raw" in src
     # persistence rule (late r8): confirmed regressions must come from
-    # _confirm_regressed (two consecutive uniform windows), not from the
-    # single-sweep candidate list
+    # _confirm_regressed (two consecutive uniform windows, both views),
+    # not from the single-sweep candidate list
     assert "_confirm_regressed(" in src
     assert "_prior_uniform_normalized(" in src
+    assert "_prior_uniform_raw(" in src
+    # reference raw seconds must exist for the raw view
+    assert all(n in ref.get("queries_raw", {}) for n in bench.HEADLINE)
 
 
 def test_bench_regression_persistence_rule():
@@ -494,6 +505,19 @@ def test_bench_regression_persistence_rule():
     out = bench._confirm_regressed(["qA", "qB", "qC"], prior, ref_norm)
     assert out == ["qA"]
     assert bench._confirm_regressed(["qA"], {}, ref_norm) == []
+    # dual-view persistence (second r8 amendment): the prior window must
+    # also show the RAW exceedance — qA's prior normalized is >1.3x but
+    # its prior raw is flat, so a probe-mode swing stays unconfirmed
+    assert (
+        bench._confirm_regressed(
+            ["qA"], prior, ref_norm,
+            prior_raw={"qA": 1.0}, ref_raw={"qA": 1.0},
+        )
+        == []
+    )
+    assert bench._confirm_regressed(
+        ["qA"], prior, ref_norm, prior_raw={"qA": 1.5}, ref_raw={"qA": 1.0}
+    ) == ["qA"]
     # prior lookup: most recent committed uniform entry of the same
     # sf/set must exist in bench_history.jsonl for the frozen-42 series
     got = bench._prior_uniform_normalized(0.1, "frozen42")
