@@ -377,11 +377,16 @@ def run_q148_evidence(spark, tmp: str) -> None:
         sig = perceptual_hash64(with_binary_payload(d), id_col="doc_id")
         return hamming_band_pairs(sig, "doc_id", "phash", max_hamming=10)
 
-    pair_job(dirs["big"]).write.format("noop").mode("overwrite").save()  # warm
-    spark.catalog.clearCache()
     secs: dict[str, float] = {}
     n_pairs: dict[str, int] = {}
     for tier in tiers:
+        # per-tier untimed warm pass (ADVICE r8): warming only 'big'
+        # left the huge tier's first timed rep carrying cold-read/
+        # first-plan effects, inflating raw_pair_slope — min-of-2 only
+        # partially mitigated it because both reps shared the cold file
+        # cache.  Now every tier's timed reps compare equally warmed.
+        pair_job(dirs[tier]).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -411,12 +416,107 @@ def run_q148_evidence(spark, tmp: str) -> None:
     )
 
 
+def run_hot_gram_evidence(spark, tmp: str) -> None:
+    """Planted mega-gram corpus for q311's hot-gram guard (round 9,
+    VERDICT r8 #1): one 15-token phrase in 80% of docs makes each of
+    its 8 constituent 8-grams occur in ~0.8·n_docs documents — the
+    regime where the unframed Window.partitionBy('g') buffers a
+    mega-gram's full occurrence list on one task.  This mode builds the
+    corpus at two sizes and records, per tier: the guard's probe
+    decision (must be hot=True), wall seconds of the window form vs the
+    groupBy+join fallback on the SAME grams, and the hit-count equality
+    (the fallback is a physical strategy, not a semantics change —
+    bit-identity is test-pinned in tests/test_wave4x_ops.py).
+
+    Usage: python scripts/skew_bench.py --hot-gram-evidence
+    """
+    from pyspark.sql import functions as F
+
+    from udacity_datalake_spark_spark.plans.wave47 import (
+        SPAN_W,
+        _hot_gram_stats,
+        _probe_hot,
+        cross_doc_dup_hits,
+    )
+
+    rng = np.random.default_rng(31)
+    phrase = " ".join(f"hot{j}" for j in range(15))
+    tiers = {"big": 5000, "huge": 50000}
+    result: dict[str, dict] = {}
+    for tier, n_docs in tiers.items():
+        rows = []
+        for i in range(n_docs):
+            filler = " ".join(f"u{i}w{j}" for j in range(40))
+            if i % 5 != 0:
+                text = filler + " " + phrase
+            else:
+                text = filler + " " + " ".join(
+                    str(x) for x in rng.integers(0, 10**9, size=15)
+                )
+            rows.append((i, text, "en", f"s{i % 4}", len(text)))
+        out_dir = f"{tmp}/{tier}_hotgram"
+        os.makedirs(out_dir, exist_ok=True)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(8).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+        def build():
+            d = spark.read.parquet(f"{out_dir}/documents.parquet")
+            docs = d.select(
+                "doc_id", F.split("text", " ").alias("w")
+            ).where(F.size("w") >= SPAN_W)
+            grams = docs.select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(0, size(w) - {SPAN_W}),"
+                        f" i -> concat_ws(' ', slice(w, i + 1, {SPAN_W})))"
+                    )
+                ).alias("p0", "g"),
+            ).select("doc_id", (F.col("p0") + 1).alias("p"), "g")
+            return docs, grams
+
+        docs, grams = build()
+        mx, tot, nd = _hot_gram_stats(grams)
+        forms: dict[str, float] = {}
+        counts: dict[str, int] = {}
+        for form, flag in (("window", False), ("groupby_join", True)):
+            # one untimed warm pass per form per tier, then min-of-2
+            cross_doc_dup_hits(docs, grams, hot_gram_guard=flag).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cross_doc_dup_hits(
+                    docs, grams, hot_gram_guard=flag
+                ).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            forms[form] = round(best, 4)
+            counts[form] = cross_doc_dup_hits(
+                docs, grams, hot_gram_guard=flag
+            ).count()
+        result[tier] = {
+            "n_docs": n_docs,
+            "max_gram_doc_freq": round(mx / nd, 4) if nd else 0.0,
+            "guard_decision_hot": bool(_probe_hot(grams)),
+            "secs": forms,
+            "n_hits": counts,
+            "hits_equal": counts["window"] == counts["groupby_join"],
+        }
+    print(json.dumps({"metric": "hot_gram_guard_evidence", "tiers": result}))
+
+
 def main() -> None:
     from udacity_datalake_spark_spark.plans import QUERIES
     from udacity_datalake_spark_spark.session import get_session
 
     spark = get_session(app_name="skew-bench")
     tmp = tempfile.mkdtemp(prefix="skewfix-")
+    if "--hot-gram-evidence" in sys.argv:
+        run_hot_gram_evidence(spark, tmp)
+        spark.stop()
+        return
     if "--q148-evidence" in sys.argv:
         run_q148_evidence(spark, tmp)
         spark.stop()

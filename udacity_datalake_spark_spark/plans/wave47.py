@@ -26,6 +26,135 @@ from udacity_datalake_spark_spark.sources.readers import read_table
 #: convention of using a fixed minimum match length.
 SPAN_W = 8
 
+#: Hot-gram guard knobs (round 9, VERDICT r8 #1 — the last
+#: documented-but-unguarded skew path).  The probe hashes a seeded
+#: doc-sample's grams into HOT_GRAM_BUCKETS and compares the max
+#: bucket's EXCESS over the uniform baseline (total/buckets) against a
+#: DOC-FREQUENCY bar: hot iff some gram occurs in ≥ HOT_GRAM_DOC_SHARE
+#: of the probed documents (and ≥ HOT_GRAM_ABS_FLOOR occurrences — a
+#: tiny corpus can't trip the guard on noise).  Doc-frequency, not
+#: gram-share, is the scale-honest metric: the window exposure is one
+#: task buffering a gram's OCCURRENCE list, and a phrase present in
+#: most of a long-document corpus has a huge occurrence count while
+#: its share of total gram rows is diluted arbitrarily by doc length
+#: (the planted 80%-of-docs phrase measured only 1.7% gram-share on
+#: 55-token docs — a share bar would scale-lie).  Driver fixtures
+#: measure max doc-frequency ≤1.2%, 4x under the bar, so registered
+#: plans are unchanged.  Sampling keeps the probe at ~5% of one
+#: explode pass; below HOT_GRAM_PROBE_MIN sampled grams the probe
+#: re-runs on the full frame (exact and cheap at that size, immune to
+#: small-sample variance).
+HOT_GRAM_BUCKETS = 65536
+HOT_GRAM_DOC_SHARE = 0.05
+HOT_GRAM_ABS_FLOOR = 32
+HOT_GRAM_PROBE_FRACTION = 0.05
+HOT_GRAM_PROBE_MIN = 1000
+
+
+def _hot_gram_stats(grams: DataFrame) -> tuple[int, int, int]:
+    """(max bucket count, total grams, distinct docs) of a (doc_id, g)
+    frame hashed into HOT_GRAM_BUCKETS — two bounded aggs: map-side
+    combine collapses to ≤65536 rows before the only exchange, so the
+    probe never materializes per-gram state."""
+    mx, tot = (
+        grams.groupBy((F.xxhash64("g") % HOT_GRAM_BUCKETS).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.max("__c"), F.sum("__c"))
+        .first()
+    )
+    nd = grams.agg(F.approx_count_distinct("doc_id")).first()[0]
+    return (mx or 0, tot or 0, nd or 0)
+
+
+def _probe_hot(grams: DataFrame, min_grams: int = 0) -> bool | None:
+    """Guard decision on one probe frame: None when the frame holds
+    fewer than ``min_grams`` grams (sample too small to read), else
+    whether the hottest bucket's excess over the uniform baseline
+    (tot/buckets — so long-document corpora, whose EVERY bucket is
+    full, don't false-trigger) clears both the doc-share bar and the
+    absolute floor."""
+    mx, tot, nd = _hot_gram_stats(grams)
+    if tot < min_grams:
+        return None
+    if tot == 0 or nd == 0:
+        return False
+    signal = mx - tot / HOT_GRAM_BUCKETS
+    return signal >= max(HOT_GRAM_ABS_FLOOR, HOT_GRAM_DOC_SHARE * nd)
+
+
+def cross_doc_dup_hits(
+    docs: DataFrame, grams: DataFrame, hot_gram_guard: bool | str = "auto"
+) -> DataFrame:
+    """(doc_id, p) positions whose gram occurs in ≥2 DISTINCT documents
+    — q311's duplicate-tagging stage, with the wave's one skew exposure
+    now auto-guarded.
+
+    Two physical forms, identical output:
+
+    - **window** (default past the guard): min/max(doc_id) over
+      ``Window.partitionBy('g')`` rides the single gram exchange —
+      round 7 measured it at half the groupBy+join form's exchange
+      volume.  Exposure: WindowExec buffers every occurrence of a gram
+      per key before emitting, and it has NO map-side partial
+      aggregation — a mega-duplicated gram (one phrase in millions of
+      docs) buffers its full occurrence list on one task.
+    - **groupBy+join** (the fallback the guard engages): ``groupBy(g)``
+      partially aggregates map-side, so the hot key collapses to one
+      row per upstream partition BEFORE the shuffle, and the join-back
+      streams the hot gram's occurrences past a 1-row build entry —
+      per-task state is O(1) in the gram's duplication.
+
+    ``hot_gram_guard="auto"`` probes a seeded HOT_GRAM_PROBE_FRACTION
+    doc-sample's grams with bounded bucket aggs (_probe_hot) and falls
+    back when some gram's occurrence count clears the
+    HOT_GRAM_DOC_SHARE-of-probed-docs bar — the collapse_exact='auto'
+    pattern (operators/dedup.py) applied to the gram key, with
+    doc-frequency (not gram-share) as the metric because doc length
+    dilutes share arbitrarily while the buffering exposure tracks
+    occurrences.  True/False force a form (the planted-corpus tests
+    compare both for bit-identical output).  Driver fixtures sit 4x
+    under the bar, so registered plans are unchanged (plan-budget
+    snapshots stay green)."""
+    if hot_gram_guard == "auto":
+        probe = docs.sample(fraction=HOT_GRAM_PROBE_FRACTION, seed=7).select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {SPAN_W}),"
+                    f" i -> concat_ws(' ', slice(w, i + 1, {SPAN_W})))"
+                )
+            ).alias("p0", "g"),
+        )
+        decided = _probe_hot(probe, min_grams=HOT_GRAM_PROBE_MIN)
+        if decided is None:
+            decided = _probe_hot(grams)
+        hot_gram_guard = bool(decided)
+    if not hot_gram_guard:
+        w_gram = Window.partitionBy("g")
+        return (
+            grams.withColumn("__mn", F.min("doc_id").over(w_gram))
+            .withColumn("__mx", F.max("doc_id").over(w_gram))
+            .where(F.col("__mn") != F.col("__mx"))
+            .select("doc_id", "p")
+        )
+    # Both the aggregate and the join-back hang off ONE explicit
+    # repartition("g"): a bare groupBy would push partial aggregation
+    # BELOW its exchange, making the agg subplan differ from the join
+    # probe's and defeating ReuseExchange — the token-scale explode
+    # would then run twice (measured 3x wall on the planted corpus).
+    # Derived from the same exchange, the agg is O(1) state per gram
+    # (min/max over already-partitioned rows) and the probe side
+    # streams the hot gram's occurrences past a tiny build side — one
+    # explode, one exchange, bounded per-task state.
+    part = grams.repartition("g")
+    dup = (
+        part.groupBy("g")
+        .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+        .where(F.col("__mn") != F.col("__mx"))
+        .select("g")
+    )
+    return part.join(dup, "g").select("doc_id", "p")
+
 
 @query(
     "q311_exact_substring_spans",
@@ -105,14 +234,16 @@ def q311_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange that groups the grams (round 7: replaced the groupBy +
     join-back pair, which re-shuffled the full token-scale gram set a
     second time; the window form halves gram exchange volume).
-    Trade-off (ADVICE r7): an unframed Window.partitionBy('g') makes
-    WindowExec sort and buffer every occurrence of a gram per key
-    before emitting — it gives up the old groupBy's map-side partial
-    aggregation, so a pathologically duplicated gram (one phrase in
-    millions of docs) buffers its full occurrence list on one task.
-    The win is one exchange instead of two; the exposure is per-key
-    buffering on mega-duplicated grams — at that skew tier, pre-salt
-    the gram key or fall back to the groupBy+join form.  The
+    Trade-off (ADVICE r7), GUARDED since round 9 (VERDICT r8 #1): an
+    unframed Window.partitionBy('g') buffers every occurrence of a
+    gram per key with no map-side partial aggregation — a
+    pathologically duplicated gram (one phrase in millions of docs)
+    would buffer its full occurrence list on one task.
+    ``cross_doc_dup_hits(..., hot_gram_guard='auto')`` probes the
+    max-gram bucket share with one bounded agg and auto-falls-back to
+    the groupBy+join form past HOT_GRAM_SHARE (planted mega-gram
+    evidence: scripts/skew_bench.py --hot-gram-evidence; both forms
+    test-pinned bit-identical).  The
     islands windows partition by doc_id, so span merging is key-local
     with O(1) state per row; everything after is source-grain.  At
     100 TB the gram key becomes xxhash64 of the window (8 bytes on the
@@ -133,13 +264,7 @@ def q311_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p0", "g"),
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "g")
-    w_gram = Window.partitionBy("g")
-    hits = (
-        grams.withColumn("__mn", F.min("doc_id").over(w_gram))
-        .withColumn("__mx", F.max("doc_id").over(w_gram))
-        .where(F.col("__mn") != F.col("__mx"))
-        .select("doc_id", "p")
-    )
+    hits = cross_doc_dup_hits(docs, grams, hot_gram_guard="auto")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("p")
