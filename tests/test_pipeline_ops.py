@@ -100,3 +100,60 @@ def test_stratified_sample_exact_counts(spark, sf_dir):
     }
     for lang, n in per_lang.items():
         assert n == min(20, avail[lang]), (lang, n, avail[lang])
+
+
+def test_sparse_cosine_posting_cap_binds_on_shared_vocab(spark, tmp_path):
+    """Round-9 VERDICT #3: q155's posting-length cap is a real parameter
+    (operators.text.sparse_cosine_pairs posting_cap), not prose.  On a
+    shared-vocabulary corpus (every doc drawn from the same 12 terms —
+    every posting list holds every doc, the regime where raw postings²
+    output is quadratic) the cap must (a) bound the pair join's output
+    by Σ_t C(cap, 2) where uncapped is ~C(n_docs, 2); (b) emit a strict
+    SUBSET of the uncapped pairs (pruning only shrinks dots — norms
+    stay uncut — so a capped cosine never exceeds its uncapped value
+    and can never admit a new pair); and (c) match the registered
+    q155 oracle twin, whose `pruned` CTE mirrors the (w DESC, doc_id)
+    cut term-for-term, on a planted corpus where cap=200 binds."""
+    import duckdb
+    import numpy as np
+
+    from tests.oracle import assert_frames_match
+    from udacity_datalake_spark_spark.operators.text import sparse_cosine_pairs
+    from udacity_datalake_spark_spark.plans import ORACLE_SQL
+
+    rng = np.random.default_rng(17)
+    vocab = [f"t{j}" for j in range(12)]
+    rows = []
+    for i in range(300):
+        toks = rng.choice(vocab, size=30)
+        rows.append((i, " ".join(toks), "en", "s0", 0))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).persist()
+
+    capped = sparse_cosine_pairs(d, posting_cap=20, threshold=0.5)
+    uncapped = sparse_cosine_pairs(d, posting_cap=None, threshold=0.5)
+    cap_rows = {(r.d1, r.d2): r.cosine for r in capped.collect()}
+    full_rows = {(r.d1, r.d2): r.cosine for r in uncapped.collect()}
+    # (a) bounded: 12 terms x C(20,2) pairs max vs ~C(300,2) uncapped
+    assert len(full_rows) > 10_000, "fixture must be output-quadratic uncapped"
+    assert len(cap_rows) <= 12 * (20 * 19) // 2
+    # (b) subset, and never over-scored
+    assert set(cap_rows) <= set(full_rows)
+    for p, c in cap_rows.items():
+        assert c <= full_rows[p] + 1e-9
+    spark.catalog.clearCache()
+
+    # (c) registered q155 (cap 200) == its oracle on a planted corpus
+    # where the cap binds (300 docs > 200 per posting list)
+    fx = str(tmp_path / "fx")
+    d.write.mode("overwrite").parquet(f"{fx}/documents.parquet")
+    d.unpersist()
+    spark_pdf = QUERIES["q155_sparse_cosine_pairs"](spark, fx).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{fx}/documents.parquet/*.parquet'"
+    )
+    oracle_pdf = con.sql(ORACLE_SQL["q155_sparse_cosine_pairs"]).df()
+    assert_frames_match(spark_pdf, oracle_pdf)
+    spark.catalog.clearCache()

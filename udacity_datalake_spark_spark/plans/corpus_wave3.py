@@ -19,9 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from udacity_datalake_spark_spark.operators.text import sparse_cosine_pairs
 from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+
+#: q155's impact-prune knob (round 9): each term's posting list keeps
+#: its 200 highest-weight docs before the pair join — the same cap
+#: q301 uses, mirrored in the oracle's `pruned` CTE.
+Q155_POSTING_CAP = 200
 
 
 @query(
@@ -175,10 +181,18 @@ def q144_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms AS (
         SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM topw GROUP BY doc_id
     ),
+    pruned AS (
+        SELECT doc_id, term, w FROM (
+            SELECT doc_id, term, w,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY w DESC, doc_id) AS pr
+            FROM topw
+        ) WHERE pr <= 200
+    ),
     dots AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2,
                CAST(sum(a.w * b.w) AS DOUBLE) AS dot
-        FROM topw a JOIN topw b ON a.term = b.term AND a.doc_id < b.doc_id
+        FROM pruned a JOIN pruned b ON a.term = b.term AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT d1, d2, round(dot / (na.nrm * nb.nrm), 6) AS cosine
@@ -192,64 +206,28 @@ def q155_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine similarity pairs (cos ≥ 0.5) over each doc's
     top-10 distinctive terms — the SPARSE twin of q56's dense embedding
     similarity, and the lexical-similarity join an IR dedup stage runs
-    when no embeddings exist.
-
-    Docs reduce to 10 (term, weight) postings BEFORE any pairing, so the
-    term-keyed pair join is bounded by postings², concentrated on shared
-    distinctive terms; weights round to DECIMAL(18,6) at birth, making
-    dot products and norms exact decimal sums with ONE double
-    division+round per pair at the end.  Keys are (doc, term) and term
-    throughout — no global state, no cross join.
-
-    Cost caveat: pair count is bounded by Σ postings(t)² over the
-    top-term postings lists.  On a real Zipfian vocabulary those lists
-    are short; on this synthetic ~30-term corpus most docs share their
-    "distinctive" terms, so the qualifying-pair OUTPUT is itself
-    near-quadratic — which is why this is a correctness query, not a
-    bench headline.  A production run adds a posting-length cap
-    (mirrored in the oracle) to bound ubiquitous terms.
-    """
+    when no embeddings exist.  Implementation:
+    ``operators.text.sparse_cosine_pairs`` with
+    ``posting_cap=Q155_POSTING_CAP`` — the impact-ordered posting
+    pruning (Anh & Moffat) q301 pioneered, a REAL parameter since
+    round 9 (VERDICT r8 #3; it was a prose caveat before).  Each term's
+    posting list keeps its 200 highest-weight docs ((w DESC, doc_id)
+    deterministic cut, mirrored term-for-term in the oracle's
+    ``pruned`` CTE), so the pair join is bounded by
+    Σ_t min(|postings(t)|, 200)² — a constant ceiling per term — where
+    the uncapped form's output is quadratic on a shared-vocabulary
+    corpus (BENCH_REGISTRY r8 measured ×95.9 output growth on the
+    decade; the planted test in tests/test_pipeline_ops.py shows the
+    cap binding).  Norms stay UNCUT (per-doc top-10 vectors), so the
+    cap under-reports only pairs, never mis-scores a reported one."""
     d = read_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf")
-                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("w"),
-        )
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
-    )
-    topw = w.withColumn("rn", rn).where(F.col("rn") <= 10).select("doc_id", "term", "w")
-    norms = topw.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
-    )
-    a = topw.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("wa"))
-    b = topw.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("wb"))
-    dots = (
-        a.join(b, "term")
-        .where(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
-    )
-    cos = F.col("dot") / (F.col("na") * F.col("nb"))
-    return (
-        dots.join(norms.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("na")), "d1")
-        .join(norms.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nb")), "d2")
-        .where(cos >= 0.5)
-        .select("d1", "d2", F.round(cos, 6).alias("cosine"))
+    return sparse_cosine_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        top_terms=10,
+        posting_cap=Q155_POSTING_CAP,
+        threshold=0.5,
     )
 
 
