@@ -44,6 +44,22 @@ SMALL = "/root/testdata/sf0.01"
 BIG = "/root/testdata/sf0.1"
 OUT = "/root/repo/BENCH_REGISTRY.json"
 
+# Digest-plan adjudication overrides (ADVICE r8): output-growth
+# adjudication counts RESULT rows, but a 1-row aggregate/digest plan
+# (q148's invariant frame, q374's corpus digest) always reports growth
+# 1.0 — its internal volume is invisible to the count, so a noisy-host
+# >=20x slope would fail verify_all with no adjudication path even
+# when the work is proven output-bound elsewhere.  Each entry points a
+# digest-shaped query at the committed evidence artifact that measured
+# its INTERNAL volume decade; the override only applies when the
+# query's output is actually digest-shaped (row count equal at both
+# tiers), so a real output regression still fails.
+DIGEST_OUTPUT_BOUND = {
+    # raw hamming pair job measured directly: pairs x100.8 while
+    # sec-per-Mpair FELL 20.9 -> 4.0 (run_q148_evidence, skew tier)
+    "q148_media_phash_pairs": "SKEW_SF1.json:q148_output_bound",
+}
+
 
 def _time(spark, name: str, sf_dir: str, repeats: int = 2) -> float:
     best = float("inf")
@@ -119,8 +135,15 @@ def main() -> None:
             "output_growth": round(growth, 1),
             "output_bound": slopes[n] <= growth,
         }
-        if slopes[n] > growth:
-            flagged.append(n)
+        if slopes[n] <= growth:
+            continue
+        # digest-shaped plans (equal row count at both tiers) may carry
+        # a committed internal-volume adjudication instead (ADVICE r8)
+        if rows_small == rows_big and n in DIGEST_OUTPUT_BOUND:
+            adjudication[n]["output_bound"] = True
+            adjudication[n]["adjudicated_by"] = DIGEST_OUTPUT_BOUND[n]
+            continue
+        flagged.append(n)
     artifact = {
         "metric": "registry_slopes_sf001_sf01",
         "n_queries": len(names),

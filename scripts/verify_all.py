@@ -88,6 +88,29 @@ def main() -> None:
             print(proc.stdout[-3000:])
             print(proc.stderr[-2000:], file=sys.stderr)
     all_ok = all(ok for _, ok, _, _ in results)
+    # Round-loop economics (round 9, VERDICT r8 #6): one committed line
+    # per invocation with per-stage wall times, so tier-sweep cost (the
+    # ~30-min registry sweep, sf1/sf1d) is tracked like suite time and
+    # the next round can decide which tiers to re-run from data.  The
+    # "metric" key distinguishes these lines from the driver's own
+    # PROGRESS.jsonl heartbeat records (which have none).
+    try:
+        with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "metric": "verify_all_stages",
+                        "ts": int(time.time()),
+                        "ok": all_ok,
+                        "tiers": "--tiers" in sys.argv,
+                        "stage_wall_sec": {n: w for n, _, w, _ in results},
+                        "failures": [n for n, ok, _, _ in results if not ok],
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        pass
     print(
         "verify_all: "
         + ("ALL PASS" if all_ok else "FAILURES: "
