@@ -24,7 +24,20 @@ measuring the wrong graph.
 Output: BENCH_SF1D.json at the repo root; flag bar identical to the
 other tiers (slope >= 20 on 10x data).
 
-Usage: python scripts/bench_sf1d.py   (a few minutes; idle host only)
+Round 9 adds ``--skew`` (VERDICT r8 #5): the graph trio (q212/q217/
+q319) timed on .localdata/sf1ds — same x10 fact volume, but one mega
+dim-replica holds 30% of the facts with genuinely tripled per-part
+supplier lists (make_sf1.py --grow-dims --skew rotates part
+attachment, so the density survives the operators' DISTINCT
+(part, supplier) reduction).  t(sf1ds)/t(sf1d) at EQUAL volume
+isolates pure concentration cost; the wedge model predicts ~1.6x
+(7 uniform replicas + one 9x-wedge replica = 16 units vs sf1d's 10),
+and the flag bar is 4.0 — past that, concentration is hitting a
+super-wedge term the uniform tiers can't see.  Results land under
+"skew_variant" in BENCH_SF1D.json.
+
+Usage: python scripts/bench_sf1d.py          (a few minutes; idle host only)
+       python scripts/bench_sf1d.py --skew   (needs .localdata/sf1ds AND sf1d)
 """
 
 from __future__ import annotations
@@ -66,7 +79,96 @@ def time_query(spark, name: str, sf_dir: str, repeats: int) -> float:
     return round(best, 4)
 
 
+GRAPH_TRIO = [
+    "q212_triangle_count",
+    "q217_clustering_coefficient",
+    "q319_link_prediction",
+]
+SF1DS_DIR = os.environ.get("SPARK_GRAFT_SF1DS_DIR", "/root/repo/.localdata/sf1ds")
+SKEW_FLAG_RATIO = 4.0
+
+
+def run_skew_variant() -> None:
+    """Time the graph trio on the skewed-dim decade vs the uniform one
+    (equal total volume — the ratio is pure concentration cost) and
+    record under BENCH_SF1D.json["skew_variant"].  Exit 1 when a ratio
+    crosses SKEW_FLAG_RATIO (the verify-stage contract)."""
+    for d in (SF1D_DIR, SF1DS_DIR):
+        if not os.path.isdir(d):
+            sys.exit(
+                f"fixture missing at {d} — run scripts/make_sf1.py "
+                "--grow-dims [--skew] first"
+            )
+    spark = get_session(app_name="udacity-datalake-spark-bench-sf1ds")
+    # graph-shape context: how concentrated did the fixture actually get
+    g_uni = QUERIES["q212_triangle_count"](spark, SF1D_DIR).collect()[0]
+    spark.catalog.clearCache()
+    g_skw = QUERIES["q212_triangle_count"](spark, SF1DS_DIR).collect()[0]
+    spark.catalog.clearCache()
+    shape = {
+        "sf1d": {k: int(g_uni[k]) for k in ("n_nodes", "n_edges", "n_triangles")},
+        "sf1ds": {k: int(g_skw[k]) for k in ("n_nodes", "n_edges", "n_triangles")},
+    }
+    print(f"graph shape: {shape}")
+
+    for name in GRAPH_TRIO:  # warm: identical plan shapes at tiny SF
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    spark.catalog.clearCache()
+    cal_start = bench._calibration_probe(spark)
+    t_uni: dict[str, float] = {}
+    t_skw: dict[str, float] = {}
+    for name in GRAPH_TRIO:
+        t_uni[name] = time_query(spark, name, SF1D_DIR, REPEATS)
+        t_skw[name] = time_query(spark, name, SF1DS_DIR, REPEATS)
+        ratio = round(t_skw[name] / t_uni[name], 2) if t_uni[name] > 0 else 0.0
+        print(f"  {name}: sf1d {t_uni[name]}s  sf1ds {t_skw[name]}s  ratio {ratio}")
+        sys.stdout.flush()
+    cal_end = bench._calibration_probe(spark)
+    ratios = {
+        n: (round(t_skw[n] / t_uni[n], 2) if t_uni[n] > 0 else 0.0) for n in t_skw
+    }
+    flagged = [n for n, r in ratios.items() if r >= SKEW_FLAG_RATIO]
+    variant = {
+        "tier": "sf1ds (x10 facts, one mega dim-replica holds 30% with "
+        "3x distinct (part,supplier) density)",
+        "wedge_model_expected_ratio": 1.6,
+        "flag_ratio": SKEW_FLAG_RATIO,
+        "repeats": REPEATS,
+        "graph_shape": shape,
+        "queries_sf1d": t_uni,
+        "queries_sf1ds": t_skw,
+        "skew_cost_ratio": ratios,
+        "flagged": flagged,
+        "calibration": {"start_sec": cal_start, "end_sec": cal_end},
+    }
+    try:
+        with open("/root/repo/BENCH_SF1D.json") as f:
+            record = json.load(f)
+    except (OSError, ValueError):
+        record = {"metric": "sf1d_dim_grown_tier"}
+    record["skew_variant"] = variant
+    with open("/root/repo/BENCH_SF1D.json", "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+    print(
+        json.dumps(
+            {
+                "metric": "sf1ds_skew_variant",
+                "skew_cost_ratio": ratios,
+                "flagged": flagged,
+            }
+        )
+    )
+    spark.stop()
+    sys.exit(1 if flagged else 0)
+
+
 def main() -> None:
+    if "--skew" in sys.argv:
+        run_skew_variant()
+        return
     if not os.path.isdir(SF1D_DIR):
         sys.exit(
             f"sf1d fixture missing at {SF1D_DIR} — "

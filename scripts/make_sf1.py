@@ -46,8 +46,24 @@ graph structure on fresh keys:
 Only the relational tables are emitted for sf1d (the dim-bound subset
 touches nothing else); corpus tables come from the sf1 tier.
 
+Round 9 adds the SKEWED-DIM variant (VERDICT r8 #5): ``--grow-dims
+--skew`` writes .localdata/sf1ds — same 10 dim replicas and same ×10
+fact volume as sf1d, but fact replicas 0-2 ALL attach to replica 0's
+dimension keys: one mega dim-replica holds 30% of the facts (3× the
+per-key fact density of sf0.1 — the mega-supplier/mega-part regime),
+replicas 1-2's dims hold zero, the rest hold 10% each.  sf1d proves
+the dim decade on UNIFORM replicas; this variant tests the graph
+trio's fan-out bounds (wedges per part) against concentration at
+EQUAL total volume, so t(sf1ds)/t(sf1d) isolates the pure skew cost:
+wedge- and triangle-bound work scales with density² per replica —
+7·1 + 1·3² = 16 units vs sf1d's 10 — so the honest cost model for the
+graph operators is ~1.6×, and anything ≥4× means concentration is
+hitting a super-wedge term the uniform tiers can't see.
+
 Usage: python scripts/make_sf1.py [out_dir]              (default .localdata/sf1)
        python scripts/make_sf1.py --grow-dims [out_dir]  (default .localdata/sf1d)
+       python scripts/make_sf1.py --grow-dims --skew [out_dir]
+                                                         (default .localdata/sf1ds)
 """
 
 from __future__ import annotations
@@ -65,8 +81,13 @@ DIM = 64
 def main() -> None:
     argv = sys.argv[1:]
     grow_dims = "--grow-dims" in argv
-    argv = [a for a in argv if a != "--grow-dims"]
-    default_out = "/root/repo/.localdata/" + ("sf1d" if grow_dims else "sf1")
+    skew = "--skew" in argv
+    if skew and not grow_dims:
+        sys.exit("--skew requires --grow-dims (it skews the dim attachment)")
+    argv = [a for a in argv if a not in ("--grow-dims", "--skew")]
+    default_out = "/root/repo/.localdata/" + (
+        "sf1ds" if skew else ("sf1d" if grow_dims else "sf1")
+    )
     out = argv[0] if argv else default_out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -123,11 +144,31 @@ def main() -> None:
             FROM '{SRC}/part.parquet', reps
             """,
         )
+        if skew:
+            # fact replicas 0-2 all attach to replica 0's dim keys — but
+            # identical fact copies would vanish in the graph operators'
+            # DISTINCT (part, supplier) reduction, so sub-replicas 1-2
+            # ROTATE the part attachment within replica 0's part space
+            # (coprime-ish stride 7001 over the 20000-key range): every
+            # rotated row is a NEW distinct (part, supplier) pair, so
+            # replica 0's per-part supplier lists genuinely triple
+            # (wedge potential ~9x) while suppliers/customers carry 3x
+            # fact density — the mega-part/mega-supplier regime.
+            part_expr = (
+                "(CASE WHEN r < 3 THEN (l_partkey + 7001 * r) % 20000"
+                " ELSE l_partkey + r * 20000 END)"
+            )
+            supp_expr = "(CASE WHEN r < 3 THEN l_suppkey ELSE l_suppkey + r * 1000 END)"
+            cust_expr = "(CASE WHEN r < 3 THEN o_custkey ELSE o_custkey + r * 15000 END)"
+        else:
+            part_expr = "l_partkey + r * 20000"
+            supp_expr = "l_suppkey + r * 1000"
+            cust_expr = "o_custkey + r * 15000"
         write(
             "orders",
             f"""
             SELECT o_orderkey + r * 150000 AS o_orderkey,
-                   o_custkey + r * 15000 AS o_custkey,
+                   {cust_expr} AS o_custkey,
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM '{SRC}/orders.parquet', reps
             """,
@@ -136,8 +177,8 @@ def main() -> None:
             "lineitem",
             f"""
             SELECT l_orderkey + r * 150000 AS l_orderkey,
-                   l_partkey + r * 20000 AS l_partkey,
-                   l_suppkey + r * 1000 AS l_suppkey,
+                   {part_expr} AS l_partkey,
+                   {supp_expr} AS l_suppkey,
                    l_linenumber, l_quantity, l_extendedprice, l_discount,
                    l_tax, l_returnflag, l_linestatus, l_shipdate
             FROM '{SRC}/lineitem.parquet', reps
