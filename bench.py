@@ -153,12 +153,12 @@ HEADLINE_FULL = [
     "q246_monetary_unit_sampling",
     "q261_audio_frame_energy",
     "q271_late_event_rate",
-    # q155 (sparse cosine, all qualifying pairs) is deliberately NOT a
-    # headline query: on the synthetic corpus's ~30-term vocabulary every
-    # doc shares its "top" terms with most others, so the qualifying-pair
-    # OUTPUT itself is quadratic (~1M pairs at sf0.1) — output-bound, not
-    # plan-bound.  q301 is the linear-output (per-doc top-k) product
-    # shape of the same computation and IS benched:
+    # q155 (sparse cosine pairs) is deliberately NOT a headline query:
+    # historically its output was quadratic on the shared-vocabulary
+    # corpus (~1M pairs at sf0.1); round 9's posting_cap=200 bounded it
+    # (registry slope 38.2 -> 1.34), but the set stays frozen for
+    # like-for-like series continuity.  q301 is the per-doc top-k
+    # product shape of the same computation and IS benched:
     "q301_sparse_cosine_topk",
     # compressed-format (PNG) decode: zlib inflate + unfilter in mapInPandas
     "q302_png_decode",
