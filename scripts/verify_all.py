@@ -43,6 +43,9 @@ STAGES: list[tuple[str, list[str]]] = [
 TIER_STAGES: list[tuple[str, list[str]]] = [
     ("bench_sf1", [sys.executable, "scripts/bench_sf1.py"]),
     ("bench_sf1d", [sys.executable, "scripts/bench_sf1d.py"]),
+    # skewed-dim variant (round 9): graph trio on the mega-dim-replica
+    # decade; needs .localdata/sf1ds (make_sf1.py --grow-dims --skew)
+    ("bench_sf1ds", [sys.executable, "scripts/bench_sf1d.py", "--skew"]),
     # full-registry slope sweep (round 8): ~30 min, every registered
     # query timed at sf0.01+sf0.1, >=20x slopes flagged
     ("bench_registry", [sys.executable, "scripts/bench_registry.py"]),
