@@ -242,13 +242,18 @@ REF_PROBE_CEILING = 0.15
 # mean is then meaningless and drift is recorded as unadjudicatable
 # rather than silently mis-normalized.
 CAL_UNIFORM_MAX_RATIO = 2.0
-# Retake trigger (round 9, VERDICT r8 #2): the committed reference was
-# taken at probe 0.1266 — the slow edge of this host's idle band — and
-# SCALE.md's stated policy is to retake it when a ≤0.08 uniform window
-# appears.  bench.py now enforces its own policy: any frozen-42 sweep
-# whose uniform dual-probe window means ≤ this value AND beats the
-# committed reference's probe prints a `reference_retake_available`
-# line; scripts/retake_ref.py performs the validated swap.
+# Retake trigger (round 9, VERDICT r8 #2): SCALE.md's stated policy
+# was to retake the reference when a ≤0.08 uniform window appears;
+# bench.py enforces it — any frozen-42 sweep whose uniform dual-probe
+# window mean is ≤ this value AND beats the committed reference's
+# probe prints a `reference_retake_available` line.  Since the r9
+# series-median amendment (SCALE.md r9: a single window's normalized
+# view carries its probe's mode bias wholesale — measured 1.4-1.65x
+# below the 9-window medians on ALL queries), the recommended refresh
+# is `scripts/retake_ref.py --from-series`, which folds the new
+# window's committed history entry into the per-query dual-view
+# medians; the trigger marks the moment a fresh fast window has
+# enriched the series.
 REF_RETAKE_PROBE = 0.08
 REF_NAME = "BENCH_REF.json"
 HISTORY_NAME = "bench_history.jsonl"
@@ -617,7 +622,7 @@ def main() -> None:
                     "metric": "reference_retake_available",
                     "sweep_probe_mean": cal_mean,
                     "ref_probe_mean": ref_probe,
-                    "action": "python scripts/retake_ref.py",
+                    "action": "python scripts/retake_ref.py --from-series",
                 }
             )
         )

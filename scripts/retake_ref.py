@@ -22,7 +22,22 @@ bench_history.jsonl recomputing each prior uniform frozen-42 entry's
 worst drift against the NEW reference — so the committed series stays
 interpretable across the swap without rewriting history lines.
 
+``--from-series`` (round 9, the measured amendment): build the
+reference from per-query MEDIANS — raw and normalized independently —
+across every committed uniform frozen-42 entry of the reference's
+scale factor in bench_history.jsonl (≥ MIN_SERIES_WINDOWS required).
+Why: with 9 uniform windows committed, the single-window reference's
+normalized values measured 1.4-1.65× BELOW the series medians on ALL
+42 queries while its raw values centered exactly on them (median
+ratio 1.00) — i.e., the normalized view of any one window carries its
+probe's mode bias wholesale, and freezing one window as the bar makes
+every typical window read ~1.4× "drift", leaving only the raw view to
+veto flags (which noisy sub-second queries like q05 then defeat).  A
+dual-view median represents typical clean behavior in BOTH views, so
+a 1.3× exceedance is a signal, not tail-vs-tail sampling.
+
 Usage: python scripts/retake_ref.py [candidate.json] [--dry-run]
+       python scripts/retake_ref.py --from-series [--dry-run]
 """
 
 from __future__ import annotations
@@ -39,22 +54,111 @@ import bench  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+MIN_SERIES_WINDOWS = 6
+
+
 def fail(msg: str) -> None:
     print(f"retake_ref: REFUSED — {msg}", file=sys.stderr)
     sys.exit(1)
 
 
+def _uniform_series(sf) -> list[dict]:
+    try:
+        with open(os.path.join(REPO, bench.HISTORY_NAME)) as f:
+            entries = [json.loads(ln) for ln in f if ln.strip()]
+    except (OSError, ValueError):
+        return []
+    return [
+        e
+        for e in entries
+        if e.get("set") == "frozen42"
+        and e.get("sf") == sf
+        and e.get("calibration_uniform")
+        and not e.get("ref_swap")
+        and e.get("queries")
+        and e.get("queries_normalized")
+    ]
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    mid = n // 2
+    return round(s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2, 4)
+
+
+def build_series_reference(old: dict) -> dict:
+    sf = old.get("sf")
+    series = _uniform_series(sf)
+    if len(series) < MIN_SERIES_WINDOWS:
+        fail(
+            f"only {len(series)} committed uniform frozen-42 sf={sf} windows "
+            f"in {bench.HISTORY_NAME}; the median reference needs "
+            f">= {MIN_SERIES_WINDOWS}"
+        )
+    raw_med: dict[str, float] = {}
+    norm_med: dict[str, float] = {}
+    for q in bench.HEADLINE:
+        raws = [e["queries"][q] for e in series if q in e["queries"]]
+        norms = [
+            e["queries_normalized"][q]
+            for e in series
+            if q in e["queries_normalized"]
+        ]
+        if len(raws) < MIN_SERIES_WINDOWS or len(norms) < MIN_SERIES_WINDOWS:
+            fail(f"{q} has <{MIN_SERIES_WINDOWS} samples in the uniform series")
+        raw_med[q] = _median(raws)
+        norm_med[q] = _median(norms)
+    cals = [e["calibration_mean_sec"] for e in series]
+    cal_med = _median(cals)
+    if cal_med > bench.REF_PROBE_CEILING:
+        fail(f"series median probe {cal_med}s exceeds the {bench.REF_PROBE_CEILING}s ceiling")
+    return {
+        "metric": "bench_reference_normalized",
+        "provenance": (
+            f"per-query dual-view MEDIAN over {len(series)} committed "
+            f"uniform frozen-42 sf={sf} windows (probe means "
+            f"{sorted(cals)}), built {time.strftime('%Y-%m-%d %H:%M')} by "
+            "scripts/retake_ref.py --from-series.  Amendment evidence "
+            "(SCALE.md r9): the prior single-window reference's "
+            "normalized values sat 1.4-1.65x below the series medians on "
+            "ALL 42 queries (probe-mode bias carried wholesale into the "
+            "normalized view) while its raw values centered on the "
+            "medians (ratio 1.00) — a median reference represents "
+            "typical clean behavior in BOTH views.  Refresh policy: "
+            "re-run --from-series after new uniform windows accumulate; "
+            "single-window swaps remain for raw-era changes only."
+        ),
+        "sf": sf,
+        "headline_set": "frozen42",
+        "calibration": {
+            "probe": "median of member windows' mean codegen probes",
+            "start_sec": cal_med,
+            "end_sec": cal_med,
+            "mean_sec": cal_med,
+            "member_window_probes": sorted(cals),
+            "n_windows": len(series),
+        },
+        "queries_raw": raw_med,
+        "queries_normalized": norm_med,
+    }
+
+
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--dry-run"]
+    argv = [a for a in sys.argv[1:] if a not in ("--dry-run", "--from-series")]
     dry = "--dry-run" in sys.argv
+    with open(os.path.join(REPO, bench.REF_NAME)) as f:
+        old = json.load(f)
+    if "--from-series" in sys.argv:
+        new_ref = build_series_reference(old)
+        finish(new_ref, old, dry)
+        return
     cand_path = argv[0] if argv else os.path.join(REPO, "BENCH_HEADLINE.json")
     try:
         with open(cand_path) as f:
             cand = json.load(f)
     except (OSError, ValueError) as ex:
         fail(f"cannot read candidate sweep {cand_path}: {ex}")
-    with open(os.path.join(REPO, bench.REF_NAME)) as f:
-        old = json.load(f)
 
     if cand.get("headline_set") != "frozen42":
         fail(f"candidate headline_set={cand.get('headline_set')!r}, need frozen42")
@@ -103,8 +207,15 @@ def main() -> None:
         "queries_normalized": {n: norm[n] for n in bench.HEADLINE},
     }
 
-    # Recompute every prior uniform frozen-42 entry's drift against the
-    # NEW reference (history lines themselves are immutable).
+    finish(new_ref, old, dry)
+
+
+def finish(new_ref: dict, old: dict, dry: bool) -> None:
+    """Shared swap tail: recompute every prior uniform frozen-42
+    entry's drift against the NEW reference (history lines themselves
+    are immutable), then write BENCH_REF.json + the ref_swap record."""
+    mean = new_ref["calibration"]["mean_sec"]
+    old_mean = old.get("calibration", {}).get("mean_sec")
     recomputed: dict[str, dict] = {}
     hist_path = os.path.join(REPO, bench.HISTORY_NAME)
     try:
@@ -115,8 +226,9 @@ def main() -> None:
     for ent in entries:
         if not (
             ent.get("set") == "frozen42"
-            and ent.get("sf") == cand.get("sf")
+            and ent.get("sf") == new_ref.get("sf")
             and ent.get("calibration_uniform")
+            and not ent.get("ref_swap")
         ):
             continue
         drifts = {}
@@ -137,7 +249,8 @@ def main() -> None:
     if dry:
         print(json.dumps({"metric": "ref_swap_dry_run", "would_write": True,
                           "new_probe": mean, "old_probe": old_mean,
-                          "recomputed_entries": len(recomputed)}))
+                          "recomputed_entries": len(recomputed),
+                          "recomputed": recomputed}))
         return
     with open(os.path.join(REPO, bench.REF_NAME), "w") as f:
         json.dump(new_ref, f, indent=1)
@@ -149,7 +262,7 @@ def main() -> None:
                     "ts": int(time.time()),
                     "ref_swap": True,
                     "set": "frozen42",
-                    "sf": cand.get("sf"),
+                    "sf": new_ref.get("sf"),
                     "new_probe_mean": mean,
                     "old_probe_mean": old_mean,
                     "drift_recomputed_vs_new_ref": recomputed,
