@@ -714,3 +714,33 @@ def test_solo_bench_validates_before_session():
     assert proc.returncode == 2
     assert "unknown query name" in proc.stderr
     assert "q999_not_a_query" in proc.stderr
+
+
+def test_bench_ref_is_series_median():
+    """Round-9 amendment pin: the committed BENCH_REF must be a
+    per-query dual-view MEDIAN over >=6 committed uniform windows —
+    a single-window reference carries its probe's mode bias wholesale
+    into the normalized view (measured 1.4-1.65x below the series
+    medians on ALL 42 queries, SCALE.md r9).  A future overwrite from
+    one window (retake_ref.py's candidate mode or a manual edit) must
+    trip this loudly."""
+    import json
+    import os
+
+    import bench
+
+    with open(os.path.join(os.path.dirname(bench.__file__), bench.REF_NAME)) as f:
+        ref = json.load(f)
+    cal = ref.get("calibration", {})
+    assert cal.get("n_windows", 0) >= 6, (
+        "BENCH_REF is not a series-median reference — rebuild with "
+        "scripts/retake_ref.py --from-series (SCALE.md r9 amendment)"
+    )
+    probes = cal.get("member_window_probes", [])
+    assert len(probes) == cal["n_windows"]
+    # the median must actually be the median of the recorded members
+    s = sorted(probes)
+    n = len(s)
+    want = s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 4)
+    assert abs(cal["mean_sec"] - want) < 1e-9
+    assert "--from-series" in ref.get("provenance", "")
