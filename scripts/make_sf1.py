@@ -154,8 +154,12 @@ def main() -> None:
             # replica 0's per-part supplier lists genuinely triple
             # (wedge potential ~9x) while suppliers/customers carry 3x
             # fact density — the mega-part/mega-supplier regime.
+            # Rotation stays INSIDE the dim key space 1..20000 with r=0
+            # the identity (ADVICE r9: a bare `% 20000` relabeled
+            # partkey 20000 to 0 even at r=0 — an orphaned fact key and
+            # a replica 0 no longer byte-identical to sf1d's).
             part_expr = (
-                "(CASE WHEN r < 3 THEN (l_partkey + 7001 * r) % 20000"
+                "(CASE WHEN r < 3 THEN ((l_partkey - 1 + 7001 * r) % 20000) + 1"
                 " ELSE l_partkey + r * 20000 END)"
             )
             supp_expr = "(CASE WHEN r < 3 THEN l_suppkey ELSE l_suppkey + r * 1000 END)"

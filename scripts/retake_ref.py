@@ -234,7 +234,10 @@ def finish(new_ref: dict, old: dict, dry: bool) -> None:
         drifts = {}
         for n, v in (ent.get("queries_normalized") or {}).items():
             rv = new_ref["queries_normalized"].get(n)
-            if rv:
+            # bench._usable, not truthiness (ADVICE r9): a 0.0 median in
+            # the new reference is a data-quality signal, not a silent
+            # per-query opt-out of the recomputed drift
+            if bench._usable(rv, v):
                 drifts[n] = round(v / rv, 2)
         if drifts:
             worst = max(drifts, key=drifts.get)

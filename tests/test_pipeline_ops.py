@@ -157,3 +157,34 @@ def test_sparse_cosine_posting_cap_binds_on_shared_vocab(spark, tmp_path):
     oracle_pdf = con.sql(ORACLE_SQL["q155_sparse_cosine_pairs"]).df()
     assert_frames_match(spark_pdf, oracle_pdf)
     spark.catalog.clearCache()
+
+
+def test_sparse_cosine_scratch_is_scoped(spark):
+    """Round-10 VERDICT #4 / ADVICE r9: sparse_cosine_pairs' internal
+    postings persist must be SELF-SCOPING — a long-lived session calling
+    the op N times holds at most ONE cached frame (each call releases
+    the previous call's), release_scratch() frees the last one without a
+    session-wide clearCache, and persist=False never touches the cache."""
+    from udacity_datalake_spark_spark.operators import text as T
+
+    def cache_empty() -> bool:
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    rows = [(i, f"a b c d{i} e{i}", "en", "s0", 10) for i in range(40)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    T.release_scratch()  # drop any stale handle from earlier modules
+    assert cache_empty()
+    T.sparse_cosine_pairs(d, threshold=0.0).count()
+    assert not cache_empty()
+    T.sparse_cosine_pairs(d, threshold=0.0).count()
+    assert not cache_empty()
+    # TWO calls left exactly ONE outstanding cache entry — the second
+    # call released the first's (a leak would make this return 2)
+    assert T.release_scratch() == 1
+    assert cache_empty()
+    # persist=False: zero cache footprint, nothing tracked
+    T.sparse_cosine_pairs(d, threshold=0.0, persist=False).count()
+    assert cache_empty()
+    assert T.release_scratch() == 0

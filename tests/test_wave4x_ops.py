@@ -590,3 +590,50 @@ def test_hot_gram_guard_engages_and_is_output_invariant(spark, tmp_path):
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "g")
     auto2 = cross_doc_dup_hits(docs2, grams2, hot_gram_guard="auto")
     assert "Window" in auto2._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_hot_gram_memo_refingerprints_on_in_place_rewrite(spark, tmp_path):
+    """Round-10 VERDICT #3: the q311 guard-decision memo keys on the
+    dataset FINGERPRINT (documents.parquet mtime/size), not the sf_dir
+    string — a fixture REWRITTEN at the same path must re-decide by
+    itself, with no manual clear_hot_gram_memo().  Planted: a benign
+    distinct-gram corpus decides False; the same path rewritten with the
+    mega-gram corpus changes the fingerprint and decides True."""
+    from udacity_datalake_spark_spark.plans import wave47
+
+    wave47.clear_hot_gram_memo()
+    benign = [
+        (i, " ".join(f"v{i}x{j}" for j in range(20)), "s0") for i in range(300)
+    ]
+    d = _write_docs(spark, tmp_path, benign)
+    fp1 = wave47._dataset_fingerprint(d)
+    wave47.q311_exact_substring_spans(spark, d).collect()
+    assert wave47._HOT_GRAM_MEMO == {fp1: False}
+
+    # rewrite IN PLACE: one 15-token phrase in 80% of docs (every
+    # constituent 8-gram is a mega-gram, far over the doc-share bar)
+    phrase = " ".join(f"hot{j}" for j in range(15))
+    hot = []
+    for i in range(200):
+        filler = " ".join(f"u{i}w{j}" for j in range(10))
+        text = (
+            filler + " " + phrase
+            if i % 5 != 0
+            else filler + " " + " ".join(f"z{i}y{j}" for j in range(15))
+        )
+        hot.append((i, text, f"s{i % 2}"))
+    _write_docs(spark, tmp_path, hot)
+    fp2 = wave47._dataset_fingerprint(d)
+    assert fp2 != fp1, "in-place rewrite must change the dataset fingerprint"
+    out = wave47.q311_exact_substring_spans(spark, d)
+    pdf = out.toPandas()
+    # the guard RE-DECIDED on the new data — no stale False reused
+    assert wave47._HOT_GRAM_MEMO[fp2] is True
+    assert set(wave47._HOT_GRAM_MEMO) == {fp1, fp2}
+    # second run on the rewritten data takes the memo-hit path and
+    # agrees with the probed run
+    pdf2 = wave47.q311_exact_substring_spans(spark, d).toPandas()
+    assert sorted(map(tuple, pdf.values.tolist())) == sorted(
+        map(tuple, pdf2.values.tolist())
+    )
+    wave47.clear_hot_gram_memo()

@@ -16,6 +16,8 @@ engines bit-identically, and the integer sum is partition-order proof.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -50,20 +52,49 @@ HOT_GRAM_ABS_FLOOR = 32
 HOT_GRAM_PROBE_FRACTION = 0.05
 HOT_GRAM_PROBE_MIN = 1000
 
-#: Per-dataset guard-decision memo for the REGISTERED q311 (keyed on
-#: sf_dir).  The decision is a property of the data, not the call —
-#: bench repeats, driver runs, and snapshot passes re-build the same
-#: plan on the same fixture, and each re-probe costs one Spark action
-#: (~0.2-0.4 s of pure job round-trip at local scale).  A changed
-#: dataset at the SAME path re-decides only after
-#: clear_hot_gram_memo(); ad-hoc callers of cross_doc_dup_hits are
+#: Per-dataset guard-decision memo for the REGISTERED q311.  The
+#: decision is a property of the data, not the call — bench repeats,
+#: driver runs, and snapshot passes re-build the same plan on the same
+#: fixture, and each re-probe costs one Spark action (~0.2-0.4 s of
+#: pure job round-trip at local scale).  Keyed on the dataset
+#: FINGERPRINT (path + documents-parquet mtime/size — round 10,
+#: VERDICT r9 #3), not the path alone: a fixture REWRITTEN at the same
+#: path changes its fingerprint and re-decides automatically, closing
+#: the stale-decision trap that previously needed a manual
+#: clear_hot_gram_memo().  Ad-hoc callers of cross_doc_dup_hits are
 #: unmemoized (they pass frames, not paths).
-_HOT_GRAM_MEMO: dict[str, bool] = {}
+_HOT_GRAM_MEMO: dict[tuple, bool] = {}
+
+
+def _dataset_fingerprint(sf_dir: str) -> tuple:
+    """Cheap identity of the documents table under ``sf_dir``: the
+    (mtime_ns, size) of documents.parquet — or, when Spark wrote it as
+    a directory, the sorted (name, mtime_ns, size) of its data files.
+    One or a handful of stat() calls; never reads data."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            parts = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(p)
+                    if e.is_file() and not e.name.startswith((".", "_"))
+                )
+            )
+            return (p, parts)
+        st = os.stat(p)
+        return (p, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # unreadable/missing path: fall back to the path itself (the
+        # read_table below will surface the real error)
+        return (p, None)
 
 
 def clear_hot_gram_memo() -> None:
-    """Forget cached per-sf_dir hot-gram decisions (call after
-    rewriting a fixture in place)."""
+    """Forget cached per-dataset hot-gram decisions.  Rarely needed
+    since the memo keys on the dataset fingerprint (an in-place rewrite
+    re-decides by itself); kept for tests and belt-and-braces harness
+    hygiene."""
     _HOT_GRAM_MEMO.clear()
 
 
@@ -71,11 +102,19 @@ def _hot_gram_stats(grams: DataFrame) -> tuple[int, int, int]:
     """(max bucket count, total grams, distinct docs) of a (doc_id, g)
     frame hashed into HOT_GRAM_BUCKETS — two bounded aggs: map-side
     combine collapses to ≤65536 rows before the only exchange, so the
-    probe never materializes per-gram state.  The input is cached for
-    the pair of aggs (gram explosion is the probe's dominant cost —
-    uncached it would run twice) and released before returning."""
+    probe never materializes per-gram state.  The input is NOT
+    persisted: both agg branches rescan the (sampled) frame inside the
+    single combined job below, which measures cheaper than persist
+    bookkeeping at probe size (see the one-action note).  Bucketing
+    uses pmod, not % (ADVICE r9): Spark's % keeps the dividend's sign,
+    so signed xxhash64 % N spreads grams over ~2N buckets and the
+    uniform baseline tot/N in _probe_hot would overstate the per-bucket
+    mean ~2x; pmod keeps the bucket space exactly HOT_GRAM_BUCKETS so
+    the documented baseline formula is the real one."""
     bucket = (
-        grams.groupBy((F.xxhash64("g") % HOT_GRAM_BUCKETS).alias("__b"))
+        grams.groupBy(
+            F.pmod(F.xxhash64("g"), F.lit(HOT_GRAM_BUCKETS)).alias("__b")
+        )
         .agg(F.count(F.lit(1)).alias("__c"))
         .agg(F.max("__c").alias("__mx"), F.sum("__c").alias("__tot"))
     )
@@ -287,7 +326,7 @@ def q311_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     would buffer its full occurrence list on one task.
     ``cross_doc_dup_hits(..., hot_gram_guard='auto')`` probes the
     max-gram bucket share with one bounded agg and auto-falls-back to
-    the groupBy+join form past HOT_GRAM_SHARE (planted mega-gram
+    the groupBy+join form past HOT_GRAM_DOC_SHARE (planted mega-gram
     evidence: scripts/skew_bench.py --hot-gram-evidence; both forms
     test-pinned bit-identical).  The
     islands windows partition by doc_id, so span merging is key-local
@@ -310,8 +349,9 @@ def q311_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p0", "g"),
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "g")
-    if sf_dir in _HOT_GRAM_MEMO:
-        guard: bool | str = _HOT_GRAM_MEMO[sf_dir]
+    memo_key = _dataset_fingerprint(sf_dir)
+    if memo_key in _HOT_GRAM_MEMO:
+        guard: bool | str = _HOT_GRAM_MEMO[memo_key]
         hits = cross_doc_dup_hits(docs, grams, hot_gram_guard=guard)
     else:
         probe_docs = (
@@ -322,7 +362,7 @@ def q311_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         decided = _probe_hot(probe_docs_grams(probe_docs), min_grams=HOT_GRAM_PROBE_MIN)
         if decided is None:
             decided = _probe_hot(grams)
-        _HOT_GRAM_MEMO[sf_dir] = bool(decided)
+        _HOT_GRAM_MEMO[memo_key] = bool(decided)
         hits = cross_doc_dup_hits(docs, grams, hot_gram_guard=bool(decided))
     w_prev = (
         Window.partitionBy("doc_id")
