@@ -257,6 +257,33 @@ CAL_UNIFORM_MAX_RATIO = 2.0
 REF_RETAKE_PROBE = 0.08
 REF_NAME = "BENCH_REF.json"
 HISTORY_NAME = "bench_history.jsonl"
+# Duration-scaled repeats (round 10, VERDICT r9 #5): the q05
+# adjudication (SCALE.md r9) measured that a min-of-5 of a ~0.2 s job
+# carries window-to-window variance wider than the 1.3x flag bar — the
+# per-run noise floor (scheduler round-trips, GC pauses) is a fixed
+# ~0.05-0.1 s that dominates sub-second members.  Every member now
+# accumulates at least MIN_TIMED_WORK_SEC of timed work (more draws →
+# the min converges), capped at MAX_REPEATS so a pathological slow
+# query can't stall the sweep.  Multi-second members still run exactly
+# the base repeats, so the headline total's cost is unchanged where it
+# matters.
+MIN_TIMED_WORK_SEC = 2.0
+MAX_REPEATS = 9
+DEFAULT_REPEATS = 5
+
+
+def _needs_another_run(runs: int, acc_sec: float, min_runs: int) -> bool:
+    """One more timed execution?  Always up to ``min_runs``; beyond
+    that, only while the accumulated timed work is under
+    MIN_TIMED_WORK_SEC and the MAX_REPEATS cap allows (sub-second
+    queries draw up to 9 samples; multi-second queries stop at base).
+    An explicit sub-default ``min_runs`` (smoke/CI runs setting
+    SPARK_GRAFT_BENCH_REPEATS=1/2) is a speed request — no extension."""
+    if runs < min_runs:
+        return True
+    if min_runs < DEFAULT_REPEATS:
+        return False
+    return acc_sec < MIN_TIMED_WORK_SEC and runs < MAX_REPEATS
 
 
 def _load_ref() -> dict:
@@ -446,11 +473,19 @@ def main() -> None:
     for name in headline:
         if name not in QUERIES:
             continue
-        best = float("inf")
-        for _ in range(repeats):
+        # duration-scaled min (round 10, VERDICT r9 #5): at least
+        # `repeats` runs, extended up to MAX_REPEATS while the member
+        # has accumulated under MIN_TIMED_WORK_SEC of timed work — the
+        # sub-second members draw more samples so their min escapes the
+        # fixed per-run noise floor
+        best, acc, runs = float("inf"), 0.0, 0
+        while _needs_another_run(runs, acc, repeats):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            acc += dt
+            runs += 1
             # operator-internal persist() frames (dedup/similarity
             # multi-branch plans) are scoped to one query — drop them so
             # repeats and later queries don't read a warmed cache

@@ -2,7 +2,8 @@
 queries() entry at sf0.01 against its oracle_sql() twin on DuckDB —
 row-count + column-name + order-insensitive exact value compare.
 
-Usage: python scripts/driver_sim.py [--summary] [sf_dir] [name_substring ...]
+Usage: python scripts/driver_sim.py [--summary] [--full-volume]
+           [--shard i/n] [--json PATH] [sf_dir] [name_substring ...]
 (optional substrings restrict the run to matching query names — for
 quick re-verification of a touched operator family)
 
@@ -10,11 +11,23 @@ quick re-verification of a touched operator family)
 one row per registry query (name → MATCH / rows-only / FAIL) plus the
 run date, so the judge can diff full-registry status without re-running
 the whole suite.
+
+--shard i/n (round 10, VERDICT r9 #2): run only every n-th query
+(round-robin over the sorted name list — the parity-test split applied
+to the sim), so scripts/driver_sim_sharded.py can run the full-volume
+registry verification in N concurrent subprocesses instead of one
+serial 2,100 s Spark session.  --json PATH dumps the per-tier status
+maps as JSON for the orchestrator to merge; shards never write
+CORRECTNESS_LOCAL.md themselves.
+
+--no-volume: skip the sf0.1/sf1 volume passes entirely (verify_all
+--quick's sub-10-minute pre-commit loop — sf0.01 oracle parity only).
 """
 
 from __future__ import annotations
 
 import datetime
+import json
 import os
 import sys
 import time
@@ -25,8 +38,84 @@ import __spark_entry__ as e
 from udacity_datalake_spark_spark.session import get_session
 from tests.oracle import assert_frames_match, run_oracle
 
+# name patterns of the data-sensitive families re-verified at the
+# larger tiers (quantiles, sketches, sampling, LSH/ANN, dedup, moments)
+SENSITIVE_PATTERNS = (
+    "quantile", "sketch", "sample", "sampling", "lsh",
+    "minhash", "simhash", "ann", "bloom", "countmin", "hll",
+    "bootstrap", "jackknife", "approx", "percentile",
+    "heavy", "split", "dedup", "phash", "cluster", "ivf",
+    "near_dup", "histogram", "binning", "moment",
+)
+
+SF1_DIR = "/root/repo/.localdata/sf1"
+BIG_DIR = "/root/testdata/sf0.1"
+
+
+def write_summary_md(
+    statuses: dict[str, str],
+    big_statuses: dict[str, str],
+    sf1_statuses: dict[str, str],
+    sf_dir: str,
+    full_volume: bool,
+    n_big_failures: int,
+) -> None:
+    """CORRECTNESS_LOCAL.md — one row per registry query across tiers."""
+    n_ok = sum(1 for s in statuses.values() if s == "MATCH")
+    n_rows_only = sum(1 for s in statuses.values() if s == "rows-only")
+    n_fail = sum(1 for s in statuses.values() if s == "FAIL")
+    lines = [
+        "# CORRECTNESS_LOCAL — full-registry driver_sim status",
+        "",
+        f"Run: {datetime.date.today().isoformat()} at `{sf_dir}` "
+        f"({len(statuses)} queries; {n_ok} MATCH, {n_rows_only} rows-only, "
+        f"{n_fail} FAIL; volume spot-run: {n_big_failures} FAIL)",
+        "",
+        (
+            f"sf0.1 column: FULL-registry volume run ({len(big_statuses)} "
+            "queries) at the largest driver-shipped fixture"
+            if full_volume
+            else f"sf0.1 column: volume spot-run of the {len(big_statuses)} "
+            "data-sensitive queries (quantiles, sketches, sampling, "
+            "LSH/ANN, dedup, moments) at the largest driver-shipped "
+            "fixture"
+        )
+        + " — catches "
+        "threshold/overflow effects invisible at sf0.01.  sf1 column: "
+        "the data-sensitive subset at the locally generated 10x tier "
+        "(scripts/make_sf1.py) when present — every entry re-verified "
+        "on each refresh (the round-6 MATCH* skip list is retired; "
+        "the q56/q148 oracle+operator rework made them routine).  "
+        "Blank = not in the sensitive subset / tier absent.",
+        "",
+        "| query | status | sf0.1 | sf1 |",
+        "|---|---|---|---|",
+    ]
+    lines += [
+        f"| {n} | {s} | {big_statuses.get(n, '')} | {sf1_statuses.get(n, '')} |"
+        for n, s in sorted(statuses.items())
+    ]
+    with open("/root/repo/CORRECTNESS_LOCAL.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote CORRECTNESS_LOCAL.md")
+
+
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--summary", "--full-volume")]
+    flags = {"--summary", "--full-volume", "--no-volume"}
+    argv: list[str] = []
+    shard: tuple[int, int] | None = None
+    json_out: str | None = None
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a in flags:
+            continue
+        if a == "--shard":
+            i, n = next(it).split("/")
+            shard = (int(i), int(n))
+        elif a == "--json":
+            json_out = next(it)
+        else:
+            argv.append(a)
     write_summary = "--summary" in sys.argv[1:]
     # --full-volume (round 8): run the WHOLE registry at sf0.1, not just
     # the data-sensitive subset — upgrades the sf0.1 column from a
@@ -48,6 +137,9 @@ def main() -> None:
     subs = argv[1:]
     if subs:
         qs = {k: v for k, v in qs.items() if any(s in k for s in subs)}
+    if shard:
+        i, n = shard
+        qs = {k: v for j, (k, v) in enumerate(sorted(qs.items())) if j % n == i}
     n_ok = n_rows_only = 0
     failures: list[str] = []
     statuses: dict[str, str] = {}
@@ -84,33 +176,21 @@ def main() -> None:
     # ADVICE: a volume-run failure used to inflate the sf0.01 count)
     big_statuses: dict[str, str] = {}
     big_failures: list[str] = []
-    big_dir = "/root/testdata/sf0.1"
     # sf1 tier (round-5 VERDICT #5): generated locally by
     # scripts/make_sf1.py (10x keyed replication of sf0.1) — run the
     # same sensitive subset there when the fixture exists
     sf1_statuses: dict[str, str] = {}
-    sf1_dir = "/root/repo/.localdata/sf1"
-    if write_summary and not subs and big_dir != sf_dir:
+    no_volume = "--no-volume" in sys.argv[1:]
+    if (write_summary or json_out) and not subs and not no_volume and BIG_DIR != sf_dir:
         sensitive = [
-            n
-            for n in sorted(qs)
-            if any(
-                p in n
-                for p in (
-                    "quantile", "sketch", "sample", "sampling", "lsh",
-                    "minhash", "simhash", "ann", "bloom", "countmin", "hll",
-                    "bootstrap", "jackknife", "approx", "percentile",
-                    "heavy", "split", "dedup", "phash", "cluster", "ivf",
-                    "near_dup", "histogram", "binning", "moment",
-                )
-            )
+            n for n in sorted(qs) if any(p in n for p in SENSITIVE_PATTERNS)
         ]
         big_list = sorted(qs) if full_volume else sensitive
         for name in big_list:
             try:
-                pdf = qs[name](spark, big_dir).toPandas()
+                pdf = qs[name](spark, BIG_DIR).toPandas()
                 if name in oracles:
-                    assert_frames_match(pdf, run_oracle(oracles[name], big_dir))
+                    assert_frames_match(pdf, run_oracle(oracles[name], BIG_DIR))
                     big_statuses[name] = "MATCH"
                 else:
                     big_statuses[name] = "rows-only"
@@ -130,12 +210,12 @@ def main() -> None:
         # inner product (933 s -> ~45 s) and q148's Spark side moved to
         # distinct-signature banding (326 s -> ~11 s), so every sensitive
         # query re-verifies at sf1 on each refresh — no MATCH* asterisks.
-        if os.path.isdir(sf1_dir):
+        if os.path.isdir(SF1_DIR):
             for name in sensitive:
                 try:
-                    pdf = qs[name](spark, sf1_dir).toPandas()
+                    pdf = qs[name](spark, SF1_DIR).toPandas()
                     if name in oracles:
-                        assert_frames_match(pdf, run_oracle(oracles[name], sf1_dir))
+                        assert_frames_match(pdf, run_oracle(oracles[name], SF1_DIR))
                         sf1_statuses[name] = "MATCH"
                     else:
                         sf1_statuses[name] = "rows-only"
@@ -151,41 +231,26 @@ def main() -> None:
                 f"({sum(1 for s in sf1_statuses.values() if s == 'FAIL')} FAIL)"
             )
 
-    if write_summary:
-        lines = [
-            "# CORRECTNESS_LOCAL — full-registry driver_sim status",
-            "",
-            f"Run: {datetime.date.today().isoformat()} at `{sf_dir}` "
-            f"({len(statuses)} queries; {n_ok} MATCH, {n_rows_only} rows-only, "
-            f"{len(failures)} FAIL; volume spot-run: {len(big_failures)} FAIL)",
-            "",
-            (
-                f"sf0.1 column: FULL-registry volume run ({len(big_statuses)} "
-                "queries) at the largest driver-shipped fixture"
-                if full_volume
-                else f"sf0.1 column: volume spot-run of the {len(big_statuses)} "
-                "data-sensitive queries (quantiles, sketches, sampling, "
-                "LSH/ANN, dedup, moments) at the largest driver-shipped "
-                "fixture"
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "full_volume": full_volume,
+                    "shard": f"{shard[0]}/{shard[1]}" if shard else None,
+                    "statuses": statuses,
+                    "big_statuses": big_statuses,
+                    "sf1_statuses": sf1_statuses,
+                    "failures": failures,
+                    "big_failures": big_failures,
+                },
+                fh,
             )
-            + " — catches "
-            "threshold/overflow effects invisible at sf0.01.  sf1 column: "
-            "the data-sensitive subset at the locally generated 10x tier "
-            "(scripts/make_sf1.py) when present — every entry re-verified "
-            "on each refresh (the round-6 MATCH* skip list is retired; "
-            "the q56/q148 oracle+operator rework made them routine).  "
-            "Blank = not in the sensitive subset / tier absent.",
-            "",
-            "| query | status | sf0.1 | sf1 |",
-            "|---|---|---|---|",
-        ]
-        lines += [
-            f"| {n} | {s} | {big_statuses.get(n, '')} | {sf1_statuses.get(n, '')} |"
-            for n, s in sorted(statuses.items())
-        ]
-        with open("/root/repo/CORRECTNESS_LOCAL.md", "w") as fh:
-            fh.write("\n".join(lines) + "\n")
-        print("wrote CORRECTNESS_LOCAL.md")
+    if write_summary:
+        write_summary_md(
+            statuses, big_statuses, sf1_statuses, sf_dir, full_volume,
+            len(big_failures),
+        )
     if failures or big_failures:
         sys.exit(1)
 

@@ -17,7 +17,12 @@ The slower tier scripts (bench_sf1.py, bench_sf1d.py, skew_bench.py)
 are opt-in via --tiers; they need the .localdata fixtures
 (scripts/make_sf1.py [--grow-dims]) and a verifiably idle host.
 
-Usage: python scripts/verify_all.py [--skip suite,driver,bench] [--tiers]
+--quick (round 10, VERDICT r9 #7): the sub-10-minute pre-commit loop —
+sharded suite + sf0.01-only registry parity (no volume passes, no
+bench).  Full verify_all remains the round's evidence bar.
+
+Usage: python scripts/verify_all.py [--skip suite,driver,bench]
+           [--tiers] [--quick]
 """
 
 from __future__ import annotations
@@ -35,10 +40,17 @@ STAGES: list[tuple[str, list[str]]] = [
     # --full-volume (round 8): the driver stage verifies the WHOLE
     # registry at sf0.1 too, not just the data-sensitive subset — its
     # first run caught q374's long-sum overflow and q368's oracle
-    # spill, both invisible at sf0.01.  Costs ~25 extra minutes; the
-    # stage is the round's correctness bar, so it runs the strong form.
-    ("driver", [sys.executable, "scripts/driver_sim.py", "--summary", "--full-volume"]),
+    # spill, both invisible at sf0.01.  Sharded since round 10 (VERDICT
+    # r9 #2): the serial single-session form cost 2,128 s of the
+    # 3,153 s repro; 4 subprocess shards (same isolation audit as the
+    # test runner) cut it ~3x with an identical merged
+    # CORRECTNESS_LOCAL.md.
+    ("driver", [sys.executable, "scripts/driver_sim_sharded.py", "--full-volume"]),
     ("bench", [sys.executable, "bench.py"]),
+]
+QUICK_STAGES: list[tuple[str, list[str]]] = [
+    ("suite", [sys.executable, "scripts/run_tests_sharded.py"]),
+    ("driver_quick", [sys.executable, "scripts/driver_sim_sharded.py", "--no-volume", "--no-summary"]),
 ]
 TIER_STAGES: list[tuple[str, list[str]]] = [
     ("bench_sf1", [sys.executable, "scripts/bench_sf1.py"]),
@@ -52,12 +64,47 @@ TIER_STAGES: list[tuple[str, list[str]]] = [
 ]
 
 
+def _pending_series_fold() -> int | None:
+    """How many committed uniform frozen-42 windows (at the reference's
+    scale factor) are NOT yet members of the series-median reference —
+    the fold retake_ref.py --from-series would absorb (round 10,
+    VERDICT r9 #6: the fold used to happen only when someone remembered
+    bench.py's availability line; this surfaces the pending state in
+    every verify_all telemetry record).  None when the reference is not
+    a series median or the history is unreadable."""
+    try:
+        import bench
+
+        with open(os.path.join(REPO, bench.REF_NAME)) as f:
+            ref = json.load(f)
+        n_members = ref.get("calibration", {}).get("n_windows")
+        if not isinstance(n_members, int):
+            return None
+        sf = ref.get("sf")
+        with open(os.path.join(REPO, bench.HISTORY_NAME)) as f:
+            entries = [json.loads(ln) for ln in f if ln.strip()]
+        n_uniform = sum(
+            1
+            for e in entries
+            if e.get("set") == "frozen42"
+            and e.get("sf") == sf
+            and e.get("calibration_uniform")
+            and not e.get("ref_swap")
+            and e.get("queries")
+            and e.get("queries_normalized")
+        )
+        return max(0, n_uniform - n_members)
+    except Exception:
+        return None
+
+
 def main() -> None:
     skip = set()
     for i, a in enumerate(sys.argv):
         if a == "--skip" and i + 1 < len(sys.argv):
             skip = set(sys.argv[i + 1].split(","))
-    stages = [(n, c) for n, c in STAGES if n not in skip]
+    base = QUICK_STAGES if "--quick" in sys.argv else STAGES
+    stages = [(n, c) for n, c in base if n not in skip]
     if "--tiers" in sys.argv:
         stages += [(n, c) for n, c in TIER_STAGES if n not in skip]
 
@@ -91,6 +138,13 @@ def main() -> None:
             print(proc.stdout[-3000:])
             print(proc.stderr[-2000:], file=sys.stderr)
     all_ok = all(ok for _, ok, _, _ in results)
+    pending_fold = _pending_series_fold()
+    if pending_fold:
+        print(
+            f"series-median reference is {pending_fold} uniform window(s) "
+            "behind bench_history.jsonl — fold with: "
+            "python scripts/retake_ref.py --from-series"
+        )
     # Round-loop economics (round 9, VERDICT r8 #6): one committed line
     # per invocation with per-stage wall times, so tier-sweep cost (the
     # ~30-min registry sweep, sf1/sf1d) is tracked like suite time and
@@ -106,8 +160,12 @@ def main() -> None:
                         "ts": int(time.time()),
                         "ok": all_ok,
                         "tiers": "--tiers" in sys.argv,
+                        "quick": "--quick" in sys.argv,
                         "stage_wall_sec": {n: w for n, _, w, _ in results},
                         "failures": [n for n, ok, _, _ in results if not ok],
+                        # uniform windows not yet folded into the
+                        # series-median reference (VERDICT r9 #6)
+                        "pending_series_fold": pending_fold,
                     }
                 )
                 + "\n"

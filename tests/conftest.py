@@ -9,6 +9,24 @@ from udacity_datalake_spark_spark.session import get_session
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Generic round-robin collection shard (round 10, VERDICT r9 #1).
+    SPARK_GRAFT_FILE_SHARD="i/n" keeps every n-th collected item —
+    scripts/run_tests_sharded.py uses it to split a single expensive
+    module (test_operators.py was 2.9x the other workers) across
+    concurrent pytest processes, the same way SPARK_GRAFT_PARITY_SHARD
+    splits the oracle-parity sweep.  Unset (every direct `pytest tests/`
+    run), this is a no-op and all tests run."""
+    shard = os.environ.get("SPARK_GRAFT_FILE_SHARD")
+    if not shard:
+        return
+    i, n = (int(x) for x in shard.split("/"))
+    keep = [it for k, it in enumerate(items) if k % n == i]
+    drop = [it for k, it in enumerate(items) if k % n != i]
+    items[:] = keep
+    config.hook.pytest_deselected(items=drop)
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_session(app_name="udacity-datalake-spark-tests")

@@ -744,3 +744,30 @@ def test_bench_ref_is_series_median():
     want = s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 4)
     assert abs(cal["mean_sec"] - want) < 1e-9
     assert "--from-series" in ref.get("provenance", "")
+
+
+def test_bench_duration_scaled_repeats():
+    """Round-10 VERDICT r9 #5: sub-second frozen-42 members accumulate
+    >= MIN_TIMED_WORK_SEC of timed work (up to the MAX_REPEATS cap) so
+    their min escapes the fixed per-run noise floor the q05
+    adjudication measured; multi-second members still run exactly the
+    base repeats, and explicit sub-default repeats (smoke runs) never
+    extend."""
+    import bench
+
+    assert bench.MIN_TIMED_WORK_SEC == 2.0
+    assert bench.MAX_REPEATS == 9
+    assert bench.DEFAULT_REPEATS == 5
+
+    def simulate(per_run_sec: float, min_runs: int) -> int:
+        runs, acc = 0, 0.0
+        while bench._needs_another_run(runs, acc, min_runs):
+            runs += 1
+            acc += per_run_sec
+        return runs
+
+    assert simulate(3.0, 5) == 5   # multi-second: base repeats only
+    assert simulate(0.2, 5) == 9   # 0.2s member: capped at 9 draws
+    assert simulate(0.3, 5) == 7   # stops once 2s of work accumulated
+    assert simulate(0.45, 5) == 5  # 5 x 0.45 = 2.25s >= 2s at base
+    assert simulate(0.1, 1) == 1   # explicit fast mode: no extension
