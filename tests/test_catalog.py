@@ -559,10 +559,14 @@ def test_bench_history_series():
 
 
 def test_sharded_runner_covers_all_test_modules():
-    """The sharded runner (round-8 VERDICT #4) must not silently drop a
-    test module: every tests/test_*.py file appears in exactly one
-    shard, and the parity shards partition the registry (round-robin
-    0/2 + 1/2 over the same sorted list)."""
+    """The sharded runner (round-8 VERDICT #4, repacked round 10 by
+    measured module cost) must not silently drop a test: every
+    tests/test_*.py file appears in exactly one shard — UNLESS it is
+    split round-robin across workers, in which case it appears once per
+    split shard and those shards' indices must partition 0..n-1 over a
+    single n (true for the parity sweep via SPARK_GRAFT_PARITY_SHARD
+    and for any module named in SPARK_GRAFT_FILE_SHARD_MODULES via the
+    conftest collection hook)."""
     import glob
     import importlib.util
     import os
@@ -575,27 +579,46 @@ def test_sharded_runner_covers_all_test_modules():
     spec.loader.exec_module(mod)
 
     covered: list[str] = []
-    parity_shards = []
+    # module basename -> list of "i/n" shard specs that split it
+    splits: dict[str, list[str]] = {}
     for name, targets, env in mod.SHARDS:
-        covered.extend(os.path.basename(t) for t in targets)
+        basenames = [os.path.basename(t) for t in targets]
+        covered.extend(basenames)
         if "SPARK_GRAFT_PARITY_SHARD" in env:
-            parity_shards.append(env["SPARK_GRAFT_PARITY_SHARD"])
+            splits.setdefault("test_oracle_parity.py", []).append(
+                env["SPARK_GRAFT_PARITY_SHARD"]
+            )
+        if "SPARK_GRAFT_FILE_SHARD" in env:
+            mods = env.get("SPARK_GRAFT_FILE_SHARD_MODULES", "")
+            shard_mods = [m.strip() for m in mods.split(",") if m.strip()]
+            assert shard_mods, (
+                f"shard {name}: FILE_SHARD without FILE_SHARD_MODULES would "
+                "round-robin EVERY co-resident module and drop tests"
+            )
+            for m in shard_mods:
+                assert m in basenames, (
+                    f"shard {name}: {m} in FILE_SHARD_MODULES but not in targets"
+                )
+                splits.setdefault(m, []).append(env["SPARK_GRAFT_FILE_SHARD"])
     repo_tests = sorted(
         os.path.basename(p)
         for p in glob.glob(os.path.join(os.path.dirname(__file__), "test_*.py"))
     )
-    # parity file appears once per parity shard; everything else exactly once
     for t in repo_tests:
-        expected = len(parity_shards) if t == "test_oracle_parity.py" else 1
+        expected = len(splits[t]) if t in splits else 1
         assert covered.count(t) == expected, (
             f"{t} appears {covered.count(t)}x in the shard plan "
             f"(expected {expected}) — update scripts/run_tests_sharded.py"
         )
-    # the parity shards must partition: i/n for i in 0..n-1, one n
-    ns = {s.split("/")[1] for s in parity_shards}
-    assert len(ns) == 1
-    n = int(next(iter(ns)))
-    assert sorted(int(s.split("/")[0]) for s in parity_shards) == list(range(n))
+    # every split module's shards must partition: i/n for i in 0..n-1
+    for m, specs in splits.items():
+        ns = {s.split("/")[1] for s in specs}
+        assert len(ns) == 1, (m, specs)
+        n = int(next(iter(ns)))
+        assert sorted(int(s.split("/")[0]) for s in specs) == list(range(n)), (
+            m,
+            specs,
+        )
 
 
 def test_bench_missing_raw_symmetry():
@@ -771,3 +794,54 @@ def test_bench_duration_scaled_repeats():
     assert simulate(0.3, 5) == 7   # stops once 2s of work accumulated
     assert simulate(0.45, 5) == 5  # 5 x 0.45 = 2.25s >= 2s at base
     assert simulate(0.1, 1) == 1   # explicit fast mode: no extension
+
+
+def test_file_shard_hook_partitions_collection():
+    """The conftest SPARK_GRAFT_FILE_SHARD hook (round 10): i/n shards
+    must PARTITION a module's collected tests (no loss, no overlap by
+    count), and SPARK_GRAFT_FILE_SHARD_MODULES must scope the split so
+    co-resident modules are kept whole.  Exercised via pytest
+    --collect-only subprocesses (no Spark session — collection only)."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+
+    def collected(extra_env: dict, targets: list[str]) -> int:
+        env = {**os.environ, **extra_env}
+        # scrub inherited shard vars (this test itself runs INSIDE a
+        # sharded worker whose env would otherwise leak into the
+        # subprocess and distort the partition arithmetic)
+        for k in ("SPARK_GRAFT_FILE_SHARD", "SPARK_GRAFT_FILE_SHARD_MODULES"):
+            if k not in extra_env:
+                env.pop(k, None)
+        p = subprocess.run(
+            [sys.executable, "-m", "pytest", *targets, "--collect-only", "-q",
+             "-p", "no:cacheprovider"],
+            cwd=repo, env=env, capture_output=True, text=True,
+        )
+        m = re.search(r"(\d+)(?:/\d+)? tests? collected", p.stdout)
+        assert m, p.stdout[-800:]
+        return int(m.group(1))
+
+    # partition check on the real split target (411-param sweep —
+    # large enough that the hash halves must both be substantial)
+    tgt = ["tests/test_plans.py"]
+    total = collected({}, tgt)
+    n0 = collected({"SPARK_GRAFT_FILE_SHARD": "0/2"}, tgt)
+    n1 = collected({"SPARK_GRAFT_FILE_SHARD": "1/2"}, tgt)
+    assert n0 + n1 == total, (n0, n1, total)
+    assert min(n0, n1) >= total * 0.35, (n0, n1, total)
+    # scoped: a MODULES list that names a DIFFERENT module keeps
+    # everything (the hook must not shard co-resident modules)
+    small = ["tests/test_wave63_ops.py"]
+    n_scoped = collected(
+        {
+            "SPARK_GRAFT_FILE_SHARD": "0/2",
+            "SPARK_GRAFT_FILE_SHARD_MODULES": "test_plans.py",
+        },
+        small,
+    )
+    assert n_scoped == collected({}, small)
