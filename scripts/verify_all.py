@@ -45,7 +45,11 @@ STAGES: list[tuple[str, list[str]]] = [
     # 3,153 s repro; 4 subprocess shards (same isolation audit as the
     # test runner) cut it ~3x with an identical merged
     # CORRECTNESS_LOCAL.md.
-    ("driver", [sys.executable, "scripts/driver_sim_sharded.py", "--full-volume"]),
+    # 6 shards: the 4-way run's 854-1049 s spread is per-slice query-cost
+    # imbalance (the sim is scheduling-latency-bound, not CPU-bound, so
+    # finer slices smooth stragglers and mild thread oversubscription is
+    # free)
+    ("driver", [sys.executable, "scripts/driver_sim_sharded.py", "--full-volume", "--workers", "6"]),
     ("bench", [sys.executable, "bench.py"]),
 ]
 QUICK_STAGES: list[tuple[str, list[str]]] = [
@@ -73,6 +77,8 @@ def _pending_series_fold() -> int | None:
     every verify_all telemetry record).  None when the reference is not
     a series median or the history is unreadable."""
     try:
+        if REPO not in sys.path:
+            sys.path.insert(0, REPO)
         import bench
 
         with open(os.path.join(REPO, bench.REF_NAME)) as f:
