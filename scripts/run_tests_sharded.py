@@ -16,32 +16,25 @@ Shard safety audit (why concurrent pytest processes don't collide):
 
 Packing is by MEASURED per-unit cost (round 10, VERDICT r9 #1 —
 SCALE.md round 10 records the data and the intermediate packs that
-taught each rule).  Standalone-process measurements (seconds): plans
-halves 240/145 (hash split, see below), streaming 202, properties 178,
-parity thirds ~115 each, llm 124, operators 101, wave4x 62, catalog
-55, wave7x 51, sparkify 49, wave6x 37, pipeline 35, writer_retry 27,
-wave63 24.  Two whales are split across workers: the 411-query
-oracle-parity sweep 3 ways via SPARK_GRAFT_PARITY_SHARD (hook in
-tests/test_oracle_parity.py) and test_plans.py — whose 411-param
-plan-budget sweep was the module behind the old operators worker's
-2.9x straggle — 2 ways via SPARK_GRAFT_FILE_SHARD +
-SPARK_GRAFT_FILE_SHARD_MODULES (conftest collection hook, scoped so
-co-resident modules run whole; pinned by
-tests/test_catalog.py::test_file_shard_hook_partitions_collection).
+taught each rule).  Standalone-process measurements (seconds, clean):
+plans ~235 (after the round-10 fix below), streaming 202, properties
+178, parity halves 213/183, llm 124, operators 101, wave4x 62,
+catalog 55, wave7x 51, sparkify 49, wave6x 37, pipeline 35,
+writer_retry 27, wave63 24 — packed to 404/392/381/404 unit targets
+(max/median 1.02); the only split module is the oracle-parity sweep
+(SPARK_GRAFT_PARITY_SHARD, hook in tests/test_oracle_parity.py).
 
-The file shard hashes nodeids instead of round-robin over the
-collection index: per-item cost correlates with collection order
-(measured: index-alternating test_plans halves ran 320 s vs 107 s —
-the parametrized sweep interleaves expensive plan-builds at even
-positions), and even hash halves stay cost-lopsided (240/145, equal
-counts) because a few snapshot plans dominate — so the halves are
-treated as UNITS WITH THEIR OWN MEASURED COST and packed with
-complementary co-modules, rather than assumed equal.
-Pack targets (standalone units; in-process session sharing runs each
-worker ~0.8-0.9x of its unit sum): streaming 404, parity-plans-a 355,
-parity-plans-b 419, parity-ops 442 — the h0 plans half carries ~60 s
-of snapshot-cost overshoot in practice, so its worker is packed
-lightest (measured walls: 322/410/396/385-class, max/median ~1.05).
+test_plans.py looked like a 531 s whale until per-TEST measurement
+(scripts/balance_file_shard.py --measure) showed 43% of it was ONE
+test rebuilding all 411 plans to re-check an invariant the per-query
+snapshot sweep already asserts; that test is now a pure JSON check and
+the module is ordinary-sized.  For the next whale, the generic
+splitter remains: SPARK_GRAFT_FILE_SHARD="i/n" (+ _MODULES scoping,
++ _SALT for measured-cost balancing via balance_file_shard.py
+--search) hash-shards a module's items across workers — pinned by
+tests/test_catalog.py::test_file_shard_hook_partitions_collection.
+Hash-by-nodeid, not collection index: item cost correlates with
+collection order (measured 320/107 s index-alternating halves).
 
 Suite wall time is appended to SUITE_TIME.jsonl (committed) so
 round-over-round creep is visible, per VERDICT r7 #4.
@@ -74,44 +67,34 @@ SHARDS: list[tuple[str, list[str], dict[str, str]]] = [
         {},
     ),
     (
-        "parity-plans-a",
+        "parity-a",
         [
             "tests/test_oracle_parity.py",
-            "tests/test_plans.py",
-        ],
-        {
-            "SPARK_GRAFT_PARITY_SHARD": "0/3",
-            "SPARK_GRAFT_FILE_SHARD": "0/2",
-            "SPARK_GRAFT_FILE_SHARD_MODULES": "test_plans.py",
-        },
-    ),
-    (
-        "parity-plans-b",
-        [
-            "tests/test_oracle_parity.py",
-            "tests/test_plans.py",
             "tests/test_llm_ops.py",
-            "tests/test_pipeline_ops.py",
+            "tests/test_catalog.py",
         ],
-        {
-            "SPARK_GRAFT_PARITY_SHARD": "1/3",
-            "SPARK_GRAFT_FILE_SHARD": "1/2",
-            "SPARK_GRAFT_FILE_SHARD_MODULES": "test_plans.py",
-        },
+        {"SPARK_GRAFT_PARITY_SHARD": "0/2"},
     ),
     (
-        "parity-ops",
+        "parity-b",
         [
             "tests/test_oracle_parity.py",
             "tests/test_operators.py",
-            "tests/test_catalog.py",
             "tests/test_wave4x_ops.py",
+            "tests/test_pipeline_ops.py",
+        ],
+        {"SPARK_GRAFT_PARITY_SHARD": "1/2"},
+    ),
+    (
+        "plans-io",
+        [
+            "tests/test_plans.py",
             "tests/test_wave7x_ops.py",
             "tests/test_sparkify.py",
             "tests/test_wave6x_ops.py",
             "tests/test_writer_retry.py",
         ],
-        {"SPARK_GRAFT_PARITY_SHARD": "2/3"},
+        {},
     ),
 ]
 

@@ -17,9 +17,11 @@ The slower tier scripts (bench_sf1.py, bench_sf1d.py, skew_bench.py)
 are opt-in via --tiers; they need the .localdata fixtures
 (scripts/make_sf1.py [--grow-dims]) and a verifiably idle host.
 
---quick (round 10, VERDICT r9 #7): the sub-10-minute pre-commit loop —
-sharded suite + sf0.01-only registry parity (no volume passes, no
-bench).  Full verify_all remains the round's evidence bar.
+--quick (round 10, VERDICT r9 #7): the pre-commit loop (~9 min) —
+sharded suite (which already contains the full 411-query oracle-parity
+sweep) + an __spark_entry__ contract smoke (entry() and one registered
+query per operator family through the driver comparator).  Full
+verify_all remains the round's evidence bar.
 
 Usage: python scripts/verify_all.py [--skip suite,driver,bench]
            [--tiers] [--quick]
@@ -52,9 +54,22 @@ STAGES: list[tuple[str, list[str]]] = [
     ("driver", [sys.executable, "scripts/driver_sim_sharded.py", "--full-volume", "--workers", "6"]),
     ("bench", [sys.executable, "bench.py"]),
 ]
+# The quick driver stage is an __spark_entry__ CONTRACT smoke (entry()
+# plus one registered query per operator family), not a second full
+# parity sweep: the suite stage already executes all 411 oracle-parity
+# checks (tests/test_oracle_parity.py), so a full driver_sim pass in
+# quick mode re-verified the same queries through a second comparator
+# for +7 minutes (measured 418.7 s sharded).  Full verify_all keeps the
+# full-volume sharded sim as the round's evidence bar.
 QUICK_STAGES: list[tuple[str, list[str]]] = [
     ("suite", [sys.executable, "scripts/run_tests_sharded.py"]),
-    ("driver_quick", [sys.executable, "scripts/driver_sim_sharded.py", "--no-volume", "--no-summary"]),
+    (
+        "driver_quick",
+        [
+            sys.executable, "scripts/driver_sim.py", "/root/testdata/sf0.01",
+            "q01_", "q65_", "q95_", "q48_", "q133_", "q302_", "q311_",
+        ],
+    ),
 ]
 TIER_STAGES: list[tuple[str, list[str]]] = [
     ("bench_sf1", [sys.executable, "scripts/bench_sf1.py"]),

@@ -24,17 +24,22 @@ def pytest_collection_modifyitems(config, items):
     round-robin over the collection index: per-item cost correlates
     with collection ORDER (measured on test_plans' 411-param
     plan-budget sweep: the index-alternating halves came out 320 s vs
-    107 s — 3x lopsided — while hash halves measure within ~10%), and a
-    hash is also stable under test insertion, where an index shift
-    would silently reshuffle every later item between shards.  Unset
-    (every direct `pytest tests/` run), this is a no-op and all tests
-    run."""
+    107 s — 3x lopsided), and a hash is also stable under test
+    insertion, where an index shift would silently reshuffle every
+    later item between shards.  SPARK_GRAFT_FILE_SHARD_SALT (optional)
+    is prepended to the nodeid before hashing: even-count hash halves
+    can still be COST-lopsided (a handful of parametrized cases
+    dominate — the unsalted halves measured 240 s vs 145 s), so the
+    runner commits the salt a measured per-test cost table showed
+    balances the halves (scripts/balance_file_shard.py).  Unset (every
+    direct `pytest tests/` run), this is a no-op and all tests run."""
     shard = os.environ.get("SPARK_GRAFT_FILE_SHARD")
     if not shard:
         return
     import zlib
 
     i, n = (int(x) for x in shard.split("/"))
+    salt = os.environ.get("SPARK_GRAFT_FILE_SHARD_SALT", "")
     modset = {
         m.strip()
         for m in os.environ.get("SPARK_GRAFT_FILE_SHARD_MODULES", "").split(",")
@@ -46,7 +51,8 @@ def pytest_collection_modifyitems(config, items):
         if modset and fname not in modset:
             keep.append(it)
             continue
-        (keep if zlib.crc32(it.nodeid.encode()) % n == i else drop).append(it)
+        h = zlib.crc32((salt + it.nodeid).encode())
+        (keep if h % n == i else drop).append(it)
     items[:] = keep
     config.hook.pytest_deselected(items=drop)
 

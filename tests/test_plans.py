@@ -315,17 +315,28 @@ PANDAS_ALLOWLIST = {
 }
 
 
-def test_every_query_is_jvm_side_unless_allowlisted(spark, sf_dir):
+def test_every_query_is_jvm_side_unless_allowlisted():
     """Engine-wide invariant: no registered query sneaks a Python eval
     node into its plan unless it is one of the declared pandas paths —
     a regression here silently turns a codegen pipeline into a
-    serialize-to-Python bottleneck at 100 TB."""
-    offenders = []
-    for name, fn in sorted(QUERIES.items()):
-        if name in PANDAS_ALLOWLIST:
-            continue
-        if has_python_eval(fn(spark, sf_dir)):
-            offenders.append(name)
+    serialize-to-Python bottleneck at 100 TB.
+
+    Enforced through the plan-budget snapshot, not by rebuilding every
+    plan (round 10: the old loop re-planned all 411 queries in ONE
+    157-second test — 43% of this module's wall — duplicating exactly
+    what test_registry_plan_budget_snapshot already checks per query):
+    the per-query snapshot test asserts has_python_eval(df) ==
+    snap['python_eval'] against the LIVE plan, and
+    test_plan_snapshot_covers_registry asserts every registered query
+    has a snapshot — so 'snapshot python_eval implies allowlisted' is
+    the whole residual invariant, a pure JSON check."""
+    offenders = [
+        name
+        for name, snap in sorted(_PLAN_SNAPSHOT.items())
+        if name in QUERIES
+        and snap.get("python_eval")
+        and name not in PANDAS_ALLOWLIST
+    ]
     assert not offenders, f"unexpected Python eval nodes in: {offenders}"
 
 
