@@ -154,12 +154,19 @@ def main() -> None:
             # replica 0's per-part supplier lists genuinely triple
             # (wedge potential ~9x) while suppliers/customers carry 3x
             # fact density — the mega-part/mega-supplier regime.
-            # Rotation stays INSIDE the dim key space 1..20000 with r=0
-            # the identity (ADVICE r9: a bare `% 20000` relabeled
-            # partkey 20000 to 0 even at r=0 — an orphaned fact key and
-            # a replica 0 no longer byte-identical to sf1d's).
+            # Key-space note (ADVICE r9, investigated round 10 and the
+            # premise FALSIFIED): this fixture's keys are 0-BASED —
+            # part keys measure exactly 0..19999 (duckdb min/max/count
+            # on /root/testdata/sf0.1/part.parquet), as do orderkeys
+            # (0..149999).  A bare `% 20000` is therefore a bijection
+            # of the real key space with r=0 the identity; the
+            # suggested 1-based form ((k-1+7001r)%20000)+1 is what
+            # would orphan rows (it emits key 20000, absent from the
+            # dim — measured 29 orphaned facts when tried).  Verified
+            # after regeneration: 0 facts outside the dim space and
+            # replica 0 (orderkey <= 149999) set-identical to sf1d's.
             part_expr = (
-                "(CASE WHEN r < 3 THEN ((l_partkey - 1 + 7001 * r) % 20000) + 1"
+                "(CASE WHEN r < 3 THEN (l_partkey + 7001 * r) % 20000"
                 " ELSE l_partkey + r * 20000 END)"
             )
             supp_expr = "(CASE WHEN r < 3 THEN l_suppkey ELSE l_suppkey + r * 1000 END)"
