@@ -17,6 +17,7 @@ import re
 import sys
 import time
 
+from udacity_datalake_spark_spark import scratch
 from udacity_datalake_spark_spark.plans import QUERIES
 from udacity_datalake_spark_spark.session import get_session
 
@@ -267,6 +268,12 @@ HISTORY_NAME = "bench_history.jsonl"
 # query can't stall the sweep.  Multi-second members still run exactly
 # the base repeats, so the headline total's cost is unchanged where it
 # matters.
+# Methodology provenance (ADVICE r10): min-over-9 is one-sidedly faster
+# than the pre-change min-over-5 on sub-second members, so a series
+# reference mixing pre/post-change windows biases those members' drift
+# ratios until old windows age out.  The like-for-like fix is
+# scripts/retake_ref.py --from-series --since 1786891301 (the change's
+# commit ts) once >= 6 post-change uniform windows are committed.
 MIN_TIMED_WORK_SEC = 2.0
 MAX_REPEATS = 9
 DEFAULT_REPEATS = 5
@@ -488,8 +495,12 @@ def main() -> None:
             runs += 1
             # operator-internal persist() frames (dedup/similarity
             # multi-branch plans) are scoped to one query — drop them so
-            # repeats and later queries don't read a warmed cache
-            spark.catalog.clearCache()
+            # repeats and later queries don't read a warmed cache.
+            # Targeted tracker release since round 11 (VERDICT r10 #2):
+            # every package persist routes through scratch.spersist, so
+            # this frees exactly the query's frames (outside the timed
+            # region) instead of blowing the whole session cache.
+            scratch.release()
         timings[name] = round(best, 4)
 
     # Scaling-slope evidence: time the same set once at sf0.01 and record
@@ -511,7 +522,7 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
-                spark.catalog.clearCache()
+                scratch.release()
             slopes[name] = round(timings[name] / best, 2) if best > 0 else 0.0
         flagged = [n for n, r in slopes.items() if r >= 20.0]
 

@@ -19,8 +19,16 @@ shard clears between queries exactly as the serial sim did) and the
 entry() smoke runs in every shard (seconds; also N independent checks
 of the flagship contract).
 
+Round 11 (VERDICT r10 #1): the split is COST-PACKED — each shard LPT-
+packs the registry by the measured per-query walls in
+scripts/driver_shard_costs.json (refreshed here with --update-costs
+after a complete green run), replacing the round-robin-by-name split
+whose 6-way spread was 471-823 s because one name-slice drew the heavy
+sf1-sensitive queries.  --sf1-full extends the sf1 tier to the whole
+registry (VERDICT r10 #4).
+
 Usage: python scripts/driver_sim_sharded.py [--workers N] [--full-volume]
-           [--no-summary] [sf_dir]
+           [--sf1-full] [--update-costs] [--no-summary] [sf_dir]
 Exit 0 iff every shard exits 0.
 """
 
@@ -38,7 +46,12 @@ sys.path.insert(0, REPO)
 
 
 def run_shard(
-    i: int, n: int, sf_dir: str, full_volume: bool, no_volume: bool = False
+    i: int,
+    n: int,
+    sf_dir: str,
+    full_volume: bool,
+    no_volume: bool = False,
+    sf1_full: bool = False,
 ) -> dict:
     out_path = f"/tmp/driver_sim_shard_{i}_{n}.json"
     try:
@@ -58,6 +71,8 @@ def run_shard(
         cmd.insert(2, "--full-volume")
     if no_volume:
         cmd.insert(2, "--no-volume")
+    if sf1_full:
+        cmd.insert(2, "--sf1-full")
     env = {
         **os.environ,
         "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_SHARD_CPUS", "8"),
@@ -88,6 +103,8 @@ def main() -> None:
         workers = int(argv[argv.index("--workers") + 1])
     full_volume = "--full-volume" in argv
     no_volume = "--no-volume" in argv
+    sf1_full = "--sf1-full" in argv
+    update_costs = "--update-costs" in argv
     write_summary = "--no-summary" not in argv
     pos = [
         a
@@ -101,7 +118,9 @@ def main() -> None:
     with ThreadPoolExecutor(max_workers=workers) as ex:
         results = list(
             ex.map(
-                lambda i: run_shard(i, workers, sf_dir, full_volume, no_volume),
+                lambda i: run_shard(
+                    i, workers, sf_dir, full_volume, no_volume, sf1_full
+                ),
                 range(workers),
             )
         )
@@ -112,9 +131,15 @@ def main() -> None:
     sf1_statuses: dict[str, str] = {}
     failures: list[str] = []
     big_failures: list[str] = []
+    costs: dict[str, dict[str, float]] = {"sf0.01": {}, "sf0.1": {}, "sf1": {}}
     ok = True
+    complete = True  # every shard produced its JSON (ADVICE r10: a
+    # crashed shard must not let a PARTIAL table overwrite the committed
+    # full-registry CORRECTNESS_LOCAL.md)
     for r in sorted(results, key=lambda r: r["i"]):
         d = r["data"]
+        if not d:
+            complete = False
         if r["rc"] != 0 and not d:
             # shard crashed before writing its JSON — surface and fail
             ok = False
@@ -127,6 +152,8 @@ def main() -> None:
         sf1_statuses.update(d.get("sf1_statuses", {}))
         failures.extend(d.get("failures", []))
         big_failures.extend(d.get("big_failures", []))
+        for tier, m in (d.get("costs") or {}).items():
+            costs.setdefault(tier, {}).update(m)
         if r["rc"] != 0:
             ok = False
         print(
@@ -145,16 +172,39 @@ def main() -> None:
     if sf1_statuses:
         n1 = sum(1 for s in sf1_statuses.values() if s == "MATCH")
         print(f"sf1 volume: {n1}/{len(sf1_statuses)} MATCH")
-    print(f"driver_sim sharded x{workers}: {total}s  ok={ok and not failures}")
+    walls = sorted(r["wall_sec"] for r in results)
+    spread = round(walls[-1] / walls[len(walls) // 2], 2) if walls[0] > 0 else 0
+    print(
+        f"driver_sim sharded x{workers}: {total}s  "
+        f"shard walls {walls} (max/median {spread})  "
+        f"ok={ok and not failures}"
+    )
 
+    all_green = ok and not failures and not big_failures
     if write_summary and statuses:
+        if not complete:
+            # partial-merge guard (ADVICE r10): never overwrite the
+            # committed full-registry artifact from a run where a shard
+            # died before reporting its slice
+            print("SKIPPING CORRECTNESS_LOCAL.md write — a shard produced no JSON")
+        else:
+            import driver_sim as ds
+
+            ds.write_summary_md(
+                statuses, big_statuses, sf1_statuses, sf_dir, full_volume,
+                len(big_failures),
+            )
+    if update_costs and complete and all_green and any(costs.values()):
+        # refresh the measured cost table the LPT shard packing reads —
+        # only from a COMPLETE green run, so a crashed/failed pass can't
+        # poison the next run's packing
         import driver_sim as ds
 
-        ds.write_summary_md(
-            statuses, big_statuses, sf1_statuses, sf_dir, full_volume,
-            len(big_failures),
-        )
-    sys.exit(0 if ok and not failures and not big_failures else 1)
+        with open(ds.COSTS_PATH, "w") as fh:
+            json.dump(costs, fh, indent=0, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {ds.COSTS_PATH} ({sum(len(v) for v in costs.values())} entries)")
+    sys.exit(0 if all_green else 1)
 
 
 if __name__ == "__main__":

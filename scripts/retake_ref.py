@@ -36,8 +36,16 @@ veto flags (which noisy sub-second queries like q05 then defeat).  A
 dual-view median represents typical clean behavior in BOTH views, so
 a 1.3× exceedance is a signal, not tail-vs-tail sampling.
 
+``--since TS`` (round 11, VERDICT r10 #5 + ADVICE r10): restrict
+``--from-series`` to windows with ts >= TS.  The duration-scaled-repeats
+change (commit ts 1786891301) altered how sub-second members are
+measured (min over up to 9 draws vs 5), so pre-change windows carry a
+one-sided slower bias on those members; once >= MIN_SERIES_WINDOWS
+post-change windows exist, folding only those gives a like-for-like
+reference instead of mixing measurement methodologies.
+
 Usage: python scripts/retake_ref.py [candidate.json] [--dry-run]
-       python scripts/retake_ref.py --from-series [--dry-run]
+       python scripts/retake_ref.py --from-series [--since TS] [--dry-run]
 """
 
 from __future__ import annotations
@@ -62,7 +70,7 @@ def fail(msg: str) -> None:
     sys.exit(1)
 
 
-def _uniform_series(sf) -> list[dict]:
+def _uniform_series(sf, since: int = 0) -> list[dict]:
     try:
         with open(os.path.join(REPO, bench.HISTORY_NAME)) as f:
             entries = [json.loads(ln) for ln in f if ln.strip()]
@@ -77,6 +85,7 @@ def _uniform_series(sf) -> list[dict]:
         and not e.get("ref_swap")
         and e.get("queries")
         and e.get("queries_normalized")
+        and (e.get("ts") or 0) >= since
     ]
 
 
@@ -87,12 +96,13 @@ def _median(vals: list[float]) -> float:
     return round(s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2, 4)
 
 
-def build_series_reference(old: dict) -> dict:
+def build_series_reference(old: dict, since: int = 0) -> dict:
     sf = old.get("sf")
-    series = _uniform_series(sf)
+    series = _uniform_series(sf, since)
     if len(series) < MIN_SERIES_WINDOWS:
         fail(
             f"only {len(series)} committed uniform frozen-42 sf={sf} windows "
+            f"{'since ts ' + str(since) + ' ' if since else ''}"
             f"in {bench.HISTORY_NAME}; the median reference needs "
             f">= {MIN_SERIES_WINDOWS}"
         )
@@ -119,7 +129,17 @@ def build_series_reference(old: dict) -> dict:
             f"per-query dual-view MEDIAN over {len(series)} committed "
             f"uniform frozen-42 sf={sf} windows (probe means "
             f"{sorted(cals)}), built {time.strftime('%Y-%m-%d %H:%M')} by "
-            "scripts/retake_ref.py --from-series.  Amendment evidence "
+            "scripts/retake_ref.py --from-series"
+            + (
+                f" --since {since} (windows predating the duration-"
+                "scaled-repeats measurement change are excluded: "
+                "pre-change windows min over 5 draws where sub-second "
+                "members now draw up to 9, a one-sided bias on their "
+                "drift ratios — ADVICE r10 / VERDICT r10 #5)"
+                if since
+                else ""
+            )
+            + ".  Amendment evidence "
             "(SCALE.md r9): the prior single-window reference's "
             "normalized values sat 1.4-1.65x below the series medians on "
             "ALL 42 queries (probe-mode bias carried wholesale into the "
@@ -145,12 +165,23 @@ def build_series_reference(old: dict) -> dict:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--dry-run", "--from-series")]
+    args = sys.argv[1:]
+    since = 0
+    if "--since" in args:
+        i = args.index("--since")
+        if i + 1 >= len(args):
+            fail("--since needs a unix timestamp")
+        try:
+            since = int(args[i + 1])
+        except ValueError:
+            fail(f"--since needs an integer ts, got {args[i + 1]!r}")
+        del args[i : i + 2]
+    argv = [a for a in args if a not in ("--dry-run", "--from-series")]
     dry = "--dry-run" in sys.argv
     with open(os.path.join(REPO, bench.REF_NAME)) as f:
         old = json.load(f)
     if "--from-series" in sys.argv:
-        new_ref = build_series_reference(old)
+        new_ref = build_series_reference(old, since)
         finish(new_ref, old, dry)
         return
     cand_path = argv[0] if argv else os.path.join(REPO, "BENCH_HEADLINE.json")

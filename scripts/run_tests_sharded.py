@@ -63,6 +63,7 @@ SHARDS: list[tuple[str, list[str], dict[str, str]]] = [
             "tests/test_streaming.py",
             "tests/test_properties.py",
             "tests/test_wave63_ops.py",
+            "tests/test_scratch.py",
         ],
         {},
     ),
@@ -99,12 +100,37 @@ SHARDS: list[tuple[str, list[str], dict[str, str]]] = [
 ]
 
 
+def _slowest_files(junit_path: str, top: int = 3) -> list[list]:
+    """Per-FILE total test seconds from a shard's junit XML, top-N —
+    straggler telemetry (round 11, VERDICT r10 #6 stretch): the round-10
+    whale hunt needed a manual --durations pass to find that 43% of one
+    worker was a single test file; this keeps the next whale visible in
+    every committed SUITE_TIME.jsonl line."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.parse(junit_path).getroot()
+    except (OSError, ET.ParseError):
+        return []
+    per_file: dict[str, float] = {}
+    for case in root.iter("testcase"):
+        cls = case.get("classname") or ""
+        mod = ".".join(cls.split(".")[:2])  # tests.test_x[.NestedClass]
+        try:
+            per_file[mod] = per_file.get(mod, 0.0) + float(case.get("time") or 0)
+        except ValueError:
+            pass
+    ranked = sorted(per_file.items(), key=lambda kv: -kv[1])[:top]
+    return [[m, round(t, 1)] for m, t in ranked]
+
+
 def run_shard(name: str, targets: list[str], extra_env: dict[str, str]) -> dict:
     env = {
         **os.environ,
         "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_SHARD_CPUS", "8"),
         **extra_env,
     }
+    junit = f"/tmp/shard-{name}-junit.xml"
     t0 = time.perf_counter()
     proc = subprocess.run(
         [
@@ -116,6 +142,9 @@ def run_shard(name: str, targets: list[str], extra_env: dict[str, str]) -> dict:
             "-p",
             "no:cacheprovider",
             f"--basetemp=/tmp/shard-{name}",
+            f"--junitxml={junit}",
+            "-o",
+            "junit_family=xunit2",
         ],
         cwd=REPO,
         env=env,
@@ -133,6 +162,7 @@ def run_shard(name: str, targets: list[str], extra_env: dict[str, str]) -> dict:
         "rc": proc.returncode,
         "wall_sec": wall,
         "summary": summary,
+        "slowest_files": _slowest_files(junit),
         "stdout_tail": proc.stdout[-4000:] if proc.returncode != 0 else "",
         "stderr_tail": proc.stderr[-2000:] if proc.returncode != 0 else "",
     }
@@ -168,7 +198,16 @@ def main() -> None:
                         "wall_sec": total,
                         "ok": ok,
                         "workers": [
-                            {k: r[k] for k in ("name", "rc", "wall_sec", "summary")}
+                            {
+                                k: r[k]
+                                for k in (
+                                    "name",
+                                    "rc",
+                                    "wall_sec",
+                                    "summary",
+                                    "slowest_files",
+                                )
+                            }
                             for r in results
                         ],
                     }

@@ -51,7 +51,11 @@ STAGES: list[tuple[str, list[str]]] = [
     # imbalance (the sim is scheduling-latency-bound, not CPU-bound, so
     # finer slices smooth stragglers and mild thread oversubscription is
     # free)
-    ("driver", [sys.executable, "scripts/driver_sim_sharded.py", "--full-volume", "--workers", "6"]),
+    # --update-costs (round 11, VERDICT r10 #1): every complete green
+    # full-volume run refreshes the measured per-query cost table that
+    # LPT shard packing reads, so the packing tracks plan changes
+    # automatically instead of drifting stale.
+    ("driver", [sys.executable, "scripts/driver_sim_sharded.py", "--full-volume", "--workers", "6", "--update-costs"]),
     ("bench", [sys.executable, "bench.py"]),
 ]
 # The quick driver stage is an __spark_entry__ CONTRACT smoke (entry()

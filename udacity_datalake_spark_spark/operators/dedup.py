@@ -24,6 +24,7 @@ from udacity_datalake_spark_spark.operators.text import (
     spread,
     tokens,
 )
+from udacity_datalake_spark_spark.scratch import spersist
 
 MINHASH_K = 128  # signature length
 # 32 bands × 4 rows: a pair at exactly J=0.6 collides in ≥1 band with
@@ -99,7 +100,7 @@ def ngram_jaccard_components(
         .where(F.size(tokens(text_col)) >= n)
         .select(F.col(id_col), shingles(text_col, n).alias("__arr"))
         .withColumn("__sz", F.size("__arr"))
-        .persist()
+        .transform(spersist)
     )
     # candidate generation runs on 64-bit token hashes, not shingle
     # strings — int64 exchanges instead of string exchanges.  A collision
@@ -187,9 +188,10 @@ def ngram_jaccard_pairs(
 
     Cache note: when the collapse is enabled the fingerprint pass stays
     persisted for the life of the returned frame (rep base + both
-    expansions consume it lazily); freed by the caller's
-    ``spark.catalog.clearCache()`` between queries, same scoping as
-    ``minhash_lsh_pairs``."""
+    expansions consume it lazily); tracked in the package scratch pool
+    (``udacity_datalake_spark_spark.scratch``, round 11) — released on
+    entry to the next registered query, or explicitly via
+    ``scratch.release()``; same scoping as ``minhash_lsh_pairs``."""
     if collapse_exact == "auto":
         n_rows, n_uniq = df.agg(
             F.count(F.lit(1)), F.approx_count_distinct(F.col(text_col))
@@ -213,7 +215,7 @@ def ngram_jaccard_pairs(
         .where(F.size(tokens(text_col)) >= n)
         .select(F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__fp"))
         .select(F.col(id_col), F.col(text_col), w_rep.alias("__rep"))
-        .persist()
+        .transform(spersist)
     )
     reps = tagged.where(F.col(id_col) == F.col("__rep")).select(id_col, text_col)
     rep_pairs = ngram_jaccard_pairs(
@@ -281,7 +283,7 @@ def shingle_containment_pairs(
         .where(F.size(tokens(text_col)) >= n)
         .select(F.col(id_col), shingles(text_col, n).alias("__arr"))
         .withColumn("__sz", F.size("__arr"))
-        .persist()
+        .transform(spersist)
     )
     sh = arrs.select(id_col, "__sz", F.explode("__arr").alias("__shingle")).select(
         id_col, "__sz", F.xxhash64(F.lit(7), F.col("__shingle")).alias("__tok")
@@ -413,9 +415,10 @@ def minhash_lsh_pairs(
     (``tagged``) stays persisted for the life of the returned frame —
     the star expansion and the rep-only base both consume it lazily, so
     it cannot be unpersisted before return (round-6 ADVICE).  Scoped
-    like ``_lsh_near_dup_pairs``: freed by the caller's
-    ``spark.catalog.clearCache()`` between queries (bench/driver_sim
-    do), or lives until session end for library use.
+    like ``_lsh_near_dup_pairs``: tracked in the package scratch pool
+    (round 11) — released on entry to the next registered query or via
+    ``scratch.release()``; library callers holding the frame past that
+    point just recompute lineage on the next action.
     """
     rows_per_band = k // bands
     if collapse_exact == "auto":
@@ -440,7 +443,7 @@ def minhash_lsh_pairs(
                 F.md5(F.col(text_col)).alias("__fp"),
             )
             .select(F.col(id_col), F.col(text_col), w_rep.alias("__rep"))
-            .persist()
+            .transform(spersist)
         )
         star = (
             tagged.where(F.col(id_col) != F.col("__rep"))
@@ -483,7 +486,7 @@ def minhash_lsh_pairs(
             "__band_idx",
             F.col("__z.0").alias("__band_hash"),
             F.pmod(F.col("__z.1"), F.lit(sub_buckets)).alias("__sec"),
-        ).persist()
+        ).transform(spersist)
         sizes = banded.groupBy("__band_idx", "__band_hash").agg(
             F.count(F.lit(1)).alias("__bn")
         )
@@ -502,7 +505,7 @@ def minhash_lsh_pairs(
         banded = sig.select(
             F.col(id_col),
             F.posexplode(band_hashes).alias("__band_idx", "__band_hash"),
-        ).persist()
+        ).transform(spersist)
         join_keys = ["__band_idx", "__band_hash"]
     l = banded.withColumnRenamed(id_col, "d1")
     r = banded.withColumnRenamed(id_col, "d2")
@@ -524,7 +527,7 @@ def minhash_lsh_pairs(
         .where(F.size(tokens(text_col)) >= n)
         .select(F.col(id_col), shingles(text_col, n).alias("__arr"))
         .withColumn("__sz", F.size("__arr"))
-        .persist()  # feeds both candidate joins — shingle once, not twice
+        .transform(spersist)  # feeds both candidate joins — shingle once, not twice
     )
     jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
     verified = (
@@ -722,14 +725,14 @@ def hamming_band_pairs(
     the signature lineage (often an Arrow-batched media decode) feeds
     the gate action plus the band/expansion joins, and would otherwise
     be recomputed per consumer.  Scoped like ``_lsh_near_dup_pairs``:
-    freed by the caller's ``spark.catalog.clearCache()`` between queries
-    (bench/driver_sim do), or lives until session end for library use.
+    tracked in the package scratch pool (round 11), released on entry to
+    the next registered query or via ``scratch.release()``.
     Not fully lazy: one bounded gate action (count + approx-distinct on
     8-byte signatures) runs at build time to pick the regime.
     """
     sigp = sig.select(
         F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
-    ).persist()
+    ).transform(spersist)
     # gate scalars in ONE action on the frame we must materialize anyway
     # (approx_count_distinct, not count_distinct — an exact distinct pair
     # in one agg plans an Expand; the gate only needs the decade)

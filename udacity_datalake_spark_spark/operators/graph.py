@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from udacity_datalake_spark_spark.scratch import spersist
 
 #: Rounds the last distributed connected_components call took to reach
 #: its fixed point — observability hook for the O(log n) property test.
@@ -200,7 +201,7 @@ def pagerank_fixed_point(
         ed.union(ed.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")))
         .distinct()
         .repartition("node")
-        .persist()
+        .transform(spersist)
     )
     # deg is referenced twice per round (divisor join + teleport node
     # set) and once for n — checkpoint so the aggregation runs once

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.functions.arrays import cosine_similarity
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 def _content_signature(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -71,7 +72,7 @@ def ann_invariants(
     - ``deterministic``: a second independent run is multiset-identical.
     """
     # persist: five independent aggregates below consume the approx frame
-    approx = run_fn().persist()
+    approx = run_fn().transform(spersist)
     structure = (
         approx.groupBy("qid")
         .agg(
@@ -160,12 +161,13 @@ def hamming_pair_invariants(
     - ``deterministic``: a second independent run is multiset-identical.
 
     Cache note: the pair frame is persisted because three independent
-    aggregates consume it; callers benching repeated runs should
-    ``spark.catalog.clearCache()`` between runs (bench.py and driver_sim
-    already do).
+    aggregates consume it; tracked in the package scratch pool
+    (round 11) — released on entry to the next registered query, or by
+    ``scratch.release()`` for callers benching repeated runs (bench.py
+    and driver_sim do exactly that).
     """
     # persist: three independent aggregates below consume the pair frame
-    pairs = run_fn().persist()
+    pairs = run_fn().transform(spersist)
     stats = pairs.agg(
         F.coalesce(
             F.min((F.col("hamming") >= 0) & (F.col("hamming") <= max_hamming)),

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 def left_join_or(left: DataFrame, right: DataFrame, cond1: Column, cond2: Column) -> DataFrame:
@@ -141,7 +142,7 @@ def hot_key_salted_join(
     # — without the persist each action re-scans and re-shuffles the fact
     # sample, doubling detection cost (round-5 BENCH drift bisect: the
     # double pass was the dominant q109 term)
-    counts = sampled.groupBy(key).agg(F.count(F.lit(1)).alias("__n")).persist()
+    counts = sampled.groupBy(key).agg(F.count(F.lit(1)).alias("__n")).transform(spersist)
     total = counts.agg(F.sum("__n")).first()[0] or 0
     hot = [
         r[key]

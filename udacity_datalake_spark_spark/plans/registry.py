@@ -16,9 +16,12 @@ Determinism rules for oracle-checked queries:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from udacity_datalake_spark_spark import scratch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -28,12 +31,27 @@ ORACLE_SQL: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` marks a non-SQL-expressible op
-    (the driver then records a weaker rows-only check)."""
+    (the driver then records a weaker rows-only check).
+
+    The REGISTERED callable is a thin wrapper that first releases every
+    scratch frame the previous registered query persisted
+    (``scratch.release()`` — round 11, VERDICT r10 #2): a caller looping
+    over ``QUERIES`` sequentially gets bounded cache residency (at most
+    one query's scratch outstanding) without knowing the tracker exists.
+    The decorator returns the ORIGINAL function, so builders composing
+    each other intra-module never release a caller's live scratch.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            scratch.release()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = runner
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         return fn

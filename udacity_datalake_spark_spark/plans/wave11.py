@@ -17,6 +17,7 @@ from udacity_datalake_spark_spark.operators.sessions import with_session_seq
 from udacity_datalake_spark_spark.operators.topk import global_row_number, ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 @query(
@@ -140,7 +141,7 @@ def q200_conversion_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("user_id", F.col("delay_us").cast("long").alias("delay_us"))
     )
-    conv = conv.persist()  # feeds count, ranking (2 jobs), and summary
+    conv = conv.transform(spersist)  # feeds count, ranking (2 jobs), and summary
     n = conv.count()
     ranked = global_row_number(
         conv, [F.col("delay_us"), F.col("user_id")], "delay_us", out_col="__rn"

@@ -12,6 +12,7 @@ from udacity_datalake_spark_spark.functions.numeric import dec
 from udacity_datalake_spark_spark.operators.topk import global_ntile
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 @query(
@@ -133,7 +134,7 @@ def q207_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = rfm.withColumn("__r", F.col("recency_days").cast("double")).withColumn(
         "__f", F.col("frequency").cast("double")
-    ).withColumn("__m", F.col("monetary").cast("double")).persist()
+    ).withColumn("__m", F.col("monetary").cast("double")).transform(spersist)
     scored = global_ntile(
         keyed, [F.col("recency_days"), F.col("user_id")], "__r", 5, out_col="r_score"
     )

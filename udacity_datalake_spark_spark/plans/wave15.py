@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from udacity_datalake_spark_spark.functions.numeric import dec
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 def _two_sample_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +227,7 @@ def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") < F.col("w"))
         .groupBy("u", "w")
         .agg(F.count(F.lit(1)).alias("shared"))
-        .persist()
+        .transform(spersist)
     )
     stats = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"), F.sum("shared").alias("total_occ")
@@ -373,7 +374,7 @@ def triangles(
         # Persist the oriented list: it feeds both wedge sides and the
         # closing join, and recomputing the degree joins per consumer
         # dominated the first cut's runtime.  Edge-sized cache.
-        o = oriented_by_degree(edges).persist()
+        o = oriented_by_degree(edges).transform(spersist)
         w1 = o.select("a", F.col("b").alias("p"), F.col("db").alias("dp"))
         w2 = o.select("a", F.col("b").alias("q"), F.col("db").alias("dq"))
         wedge_cond = (F.col("dp") < F.col("dq")) | (
@@ -434,7 +435,7 @@ def q212_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     row); the scalars re-attach as literals.  Driver-visible sf0.1
     wall: 2.65s → ~2.35s."""
     # the pair-gen join is the expensive part; every pass below reuses it
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     ep = edges.select(F.col("u").alias("x"), F.lit(1).alias("is_u")).unionAll(
         edges.select(F.col("w").alias("x"), F.lit(0).alias("is_u"))
     )

@@ -25,6 +25,7 @@ from udacity_datalake_spark_spark.plans.wave15 import (
     triangles,
 )
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 @query(
@@ -260,7 +261,7 @@ def q217_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degrees come from one count over the exploded endpoint list (graph-
     sized, not fact-sized), the wedge sum is exact int64, and the
     triangle side reuses q212's oriented wedge join."""
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     deg = cosupply_degrees(edges)
     wed = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")

@@ -20,6 +20,7 @@ from udacity_datalake_spark_spark.operators.text import stopword_hits, EN_STOPWO
 from udacity_datalake_spark_spark.operators.topk import global_running_sum
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 _SW = ", ".join("'" + w + "'" for w in EN_STOPWORDS)
 
@@ -209,7 +210,7 @@ def q227_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: global_running_sum's quantile/count/window passes would
     # otherwise re-tokenize the corpus 3×
-    scored = scored.persist()
+    scored = scored.transform(spersist)
     tot = scored.agg(F.sum("tk").alias("total_tk"))
     keyed = scored.withColumn("__sd", F.col("score").cast("double"))
     run = global_running_sum(

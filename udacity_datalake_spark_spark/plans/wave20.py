@@ -20,6 +20,7 @@ from udacity_datalake_spark_spark.plans.wave15 import (
     cosupply_edges,
 )
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 #: Shared CTE chain: the co-purchase recommender pipeline up to the
@@ -148,7 +149,7 @@ def q230_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve shape applied to graph structure)."""
     # persist per cosupply_edges' contract: deg's two endpoint branches
     # would otherwise recompute the dominant pair-generation join
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     deg = cosupply_degrees(edges)
     hist = deg.groupBy(F.col("d").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes")
@@ -203,7 +204,7 @@ def q231_powerlaw_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     double, structurally identical to the oracle."""
     # persist per cosupply_edges' contract: deg's two endpoint branches
     # would otherwise recompute the dominant pair-generation join
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     deg = cosupply_degrees(edges)
     hist = deg.groupBy(F.col("d").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes")

@@ -18,6 +18,7 @@ from udacity_datalake_spark_spark.plans.wave15 import (
     cosupply_edges,
 )
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 @query(
@@ -270,7 +271,7 @@ def q241_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degrees are graph-sized; the edge list symmetrizes (both
     directions) so the statistic is orientation-free; power sums are
     exact int64 and the correlation evaluates once in double."""
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     deg = cosupply_degrees(edges)
     both = edges.select(F.col("u").alias("a"), F.col("w").alias("b")).unionAll(
         edges.select(F.col("w").alias("a"), F.col("u").alias("b"))

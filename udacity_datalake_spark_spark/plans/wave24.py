@@ -14,6 +14,7 @@ from udacity_datalake_spark_spark.functions.numeric import dec
 from udacity_datalake_spark_spark.functions.stats import wilson_bounds, wilson_sql
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 _Z95 = 1.959963984540054  # two-sided 95% normal quantile, fixed constant
 
@@ -174,7 +175,7 @@ def q244_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y).alias("sy"),
         F.sum(x * x).alias("sxx"),
         F.sum(x * y).alias("sxy"),
-    ).persist()
+    ).transform(spersist)
     n = F.col("n")
     d = lambda c: c.cast("double")  # noqa: E731
     slope = (n * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy"))) / (

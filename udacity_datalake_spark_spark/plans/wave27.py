@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 @query(
@@ -275,7 +276,7 @@ def q256_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: global_running_sum's quantile/count/window passes would
     # otherwise re-tokenize the corpus 3×
-    scored = scored.persist()
+    scored = scored.transform(spersist)
     tot = scored.agg(F.sum("tk").alias("total_tk"))
     keyed = scored.withColumn("__sd", F.col("score").cast("double"))
     run = global_running_sum(

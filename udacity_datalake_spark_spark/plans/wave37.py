@@ -15,6 +15,7 @@ from udacity_datalake_spark_spark.plans.wave20 import (
     copurchase_ranked,
 )
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 @query(
@@ -73,7 +74,7 @@ def q283_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: both sides of the pair self-join would otherwise replay
     # the whole co-purchase pipeline (the round-3 plan audit counted 20
     # planned exchanges); the cached frame is ≤10 rows per anchor
-    lists = top.where(F.col("r_cos") <= 10).persist()
+    lists = top.where(F.col("r_cos") <= 10).transform(spersist)
     a = lists.select("pk", F.col("neighbor").alias("na"), F.col("r_cos").alias("ca"), F.col("r_cnt").alias("ka"))
     b = lists.select("pk", F.col("neighbor").alias("nb"), F.col("r_cos").alias("cb"), F.col("r_cnt").alias("kb"))
     pairs = (

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 @query(
@@ -121,7 +122,7 @@ def q301_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.withColumn("rn", rn)
         .where(F.col("rn") <= 10)
         .select("doc_id", "term", "w")
-        .persist()
+        .transform(spersist)
     )
     norms = topw.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
@@ -155,7 +156,7 @@ def q301_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d1", "d2", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"))
         # persisted: consumed by both directions of the mirror union
-        .persist()
+        .transform(spersist)
     )
     sims = cos.select(
         F.col("d1").alias("qid"), F.col("d2").alias("nid"), "cosine"

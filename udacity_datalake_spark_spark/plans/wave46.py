@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 #: Candidate/reference pairing for the overlap eval: doc i is scored
 #: against doc i + PAIR_OFFSET (both exist at every SF ≥ 0.01).
@@ -411,7 +412,7 @@ def q309_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # three consumers (bench set, probe set, doc verdict join) —
         # token-scale cache beats re-exploding the corpus thrice
-        .persist()
+        .transform(spersist)
     )
     ks = spark.range(BLOOM_K).select(F.col("id").alias("k"))
     pos = lambda g_col, k_col: F.substring(  # noqa: E731

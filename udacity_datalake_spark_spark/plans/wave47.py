@@ -66,22 +66,43 @@ HOT_GRAM_PROBE_MIN = 1000
 _HOT_GRAM_MEMO: dict[tuple, bool] = {}
 
 
+#: fingerprint memo entries kept before FIFO eviction (ADVICE r10: a
+#: test/CI loop rewriting fixtures forever must not grow the memo
+#: unboundedly — 64 distinct dataset fingerprints is far beyond any
+#: real session's working set, and eviction only costs a re-probe)
+_HOT_GRAM_MEMO_CAP = 64
+
+
 def _dataset_fingerprint(sf_dir: str) -> tuple:
     """Cheap identity of the documents table under ``sf_dir``: the
     (mtime_ns, size) of documents.parquet — or, when Spark wrote it as
-    a directory, the sorted (name, mtime_ns, size) of its data files.
-    One or a handful of stat() calls; never reads data."""
+    a directory, the sorted (name, mtime_ns, size) of its entries,
+    recursing ONE level into subdirectories so a partitioned
+    (``key=value/part-*.parquet``) layout fingerprints its real data
+    files, not just the partition dirs (ADVICE r10; deeper nesting
+    falls back to the subdir's own stat, which still changes whenever
+    files are added/removed inside it).  A handful of stat() calls;
+    never reads data."""
+
+    def _dir_entries(d: str, recurse: bool) -> tuple:
+        out = []
+        for e in os.scandir(d):
+            if e.name.startswith((".", "_")):
+                continue
+            if e.is_file():
+                st = e.stat()
+                out.append((e.name, st.st_mtime_ns, st.st_size))
+            elif e.is_dir() and recurse:
+                out.append((e.name, _dir_entries(e.path, recurse=False)))
+            else:
+                st = e.stat()
+                out.append((e.name, st.st_mtime_ns, st.st_size))
+        return tuple(sorted(out, key=str))
+
     p = os.path.join(sf_dir, "documents.parquet")
     try:
         if os.path.isdir(p):
-            parts = tuple(
-                sorted(
-                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                    for e in os.scandir(p)
-                    if e.is_file() and not e.name.startswith((".", "_"))
-                )
-            )
-            return (p, parts)
+            return (p, _dir_entries(p, recurse=True))
         st = os.stat(p)
         return (p, st.st_mtime_ns, st.st_size)
     except OSError:
@@ -362,6 +383,9 @@ def q311_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         decided = _probe_hot(probe_docs_grams(probe_docs), min_grams=HOT_GRAM_PROBE_MIN)
         if decided is None:
             decided = _probe_hot(grams)
+        while len(_HOT_GRAM_MEMO) >= _HOT_GRAM_MEMO_CAP:
+            # FIFO evict (dict preserves insertion order) — see cap note
+            _HOT_GRAM_MEMO.pop(next(iter(_HOT_GRAM_MEMO)))
         _HOT_GRAM_MEMO[memo_key] = bool(decided)
         hits = cross_doc_dup_hits(docs, grams, hot_gram_guard=bool(decided))
     w_prev = (

@@ -18,6 +18,7 @@ from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.plans.wave15 import COSUPPLY_EDGES_SQL, cosupply_edges
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 @query(
@@ -165,7 +166,7 @@ def q319_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     before one pair-keyed exchange, the existing-edge anti-join is
     edge-sized, and the top-20 plans as TakeOrderedAndProject via
     ranked_topk — no global sort."""
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     und = edges.select("u", "w").unionAll(
         edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
     )

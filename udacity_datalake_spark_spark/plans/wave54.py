@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 N_FOLDS = 5
 
@@ -237,7 +238,7 @@ def q333_feature_mutual_information(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .groupBy("dim", "f", "label")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()  # feeds margins + the term join
+        .transform(spersist)  # feeds margins + the term join
     )
     margins = cells.groupBy("dim").agg(F.sum("n").cast("long").alias("n_total"))
     fm = cells.groupBy("dim", "f").agg(F.sum("n").cast("long").alias("nf"))

@@ -24,6 +24,7 @@ from udacity_datalake_spark_spark.plans.wave15 import (
     cosupply_edges,
 )
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 # PII-looking patterns, identical semantics in Java regex (Spark) and
 # RE2 (DuckDB): no lookaround, no backrefs.
@@ -244,7 +245,7 @@ def q352_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its minimum node as the apex), then explode to 3 edge
     memberships and aggregate — O(#triangles) rows, never Σ deg² —
     with a left join restoring support-0 edges."""
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     o = edges.select(F.col("u").alias("a"), F.col("w").alias("b"))
     w1 = o.select("a", F.col("b").alias("p"))
     w2 = o.select("a", F.col("b").alias("q"))
@@ -347,7 +348,7 @@ def q354_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     test in tests/test_llm_ops.py."""
     from udacity_datalake_spark_spark.operators.similarity import kcenter_select
 
-    e = read_table(spark, sf_dir, "embeddings").persist()
+    e = read_table(spark, sf_dir, "embeddings").transform(spersist)
     sel = kcenter_select(e, k=KCENTER_K)
     sel2 = kcenter_select(e, k=KCENTER_K)
     ids = [i for _, i, _ in sel]

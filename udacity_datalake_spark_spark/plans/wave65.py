@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 L_DIVERSITY = 3
 
@@ -213,7 +214,7 @@ def q364_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k windows, one overlap join on (qid, nid)."""
     from udacity_datalake_spark_spark.operators.similarity import cosine_topk
 
-    emb = read_table(spark, sf_dir, "embeddings").persist()
+    emb = read_table(spark, sf_dir, "embeddings").transform(spersist)
     queries = emb.where(F.col("vec_id") < 5)
     full_top = cosine_topk(emb, queries, k=MRL_TOPK).select("qid", "nid")
     trunc = emb.select("vec_id", F.slice("embedding", 1, MRL_DIM).alias("embedding"))
@@ -321,7 +322,7 @@ def q365_deadline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("kind") == 2, F.col("ts")))
         .over(wfwd)
         .alias("next_purchase_ts"),
-    ).persist()
+    ).transform(spersist)
     us = STEP_WINDOW_HOURS * 3600 * 1_000_000
     step2 = annotated.where(
         (F.col("kind") == 0)

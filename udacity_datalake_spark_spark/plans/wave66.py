@@ -19,6 +19,7 @@ from udacity_datalake_spark_spark.plans.wave15 import (
     cosupply_edges,
 )
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 #: q22's tolerance: default-precision HLL is ±2.3% rsd; 5% is ~2 sigma
 HLL_TOL = 0.05
@@ -160,12 +161,12 @@ def q368_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti against the (persisted, node-sized) visited set — the
     standard distributed BFS; no multi-hop self-join blowup (a 3-way
     edge join would enumerate paths, not nodes)."""
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     und = edges.select(F.col("u").alias("a"), F.col("w").alias("b")).unionAll(
         edges.select(F.col("w").alias("a"), F.col("u").alias("b"))
     )
     seed = edges.agg(F.min("u").alias("x"))
-    visited = seed.select("x").persist()
+    visited = seed.select("x").transform(spersist)
     frontier = visited
     rows = []
     for hop in range(1, BFS_HOPS + 1):
@@ -174,7 +175,7 @@ def q368_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("b").alias("x"))
             .distinct()
             .join(visited, "x", "left_anti")
-            .persist()
+            .transform(spersist)
         )
         rows.append(
             nxt.agg(
@@ -182,7 +183,7 @@ def q368_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("long").alias("n_new"),
             )
         )
-        visited = visited.unionAll(nxt).persist()
+        visited = visited.unionAll(nxt).transform(spersist)
         frontier = nxt
     out = rows[0]
     for r in rows[1:]:
@@ -262,7 +263,7 @@ def q369_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     clockwise distance — per-key work is |ring| codegen comparisons,
     no shuffle until the two bounded counts."""
     e = read_table(spark, sf_dir, "events", columns=["user_id"])
-    keys = e.select(F.col("user_id").alias("k")).distinct().persist()
+    keys = e.select(F.col("user_id").alias("k")).distinct().transform(spersist)
 
     def ring(n_shards: int) -> DataFrame:
         shards = spark.range(n_shards).select(F.col("id").alias("shard"))

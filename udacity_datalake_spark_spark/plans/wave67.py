@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 M4_BUCKETS = 48  # "pixel columns" the chart renders
 
@@ -136,7 +137,7 @@ def apriori_triples(
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("sup"))
         .where(F.col("sup") * support_denom >= n_baskets)
-        .persist()
+        .transform(spersist)
     )
     x = pairs.select("p1", "p2")
     y = pairs.select(F.col("p1").alias("p1"), F.col("p2").alias("p3"))
@@ -263,7 +264,7 @@ def q373_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("p"))
         .distinct()
-        .persist()
+        .transform(spersist)
     )
     return apriori_triples(items, SUPPORT_DENOM)
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 @query(
@@ -222,7 +223,7 @@ def q378_leave_last_out_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("d"),
         F.col("o_orderkey").alias("ok"),
         F.col("l_linenumber").alias("ln"),
-    ).persist()
+    ).transform(spersist)
     # (ok, ln) is NOT unique in the synthetic lineitem (duplicate line
     # numbers) — item closes the tie so the held-out pick is total-ordered
     w = Window.partitionBy("u").orderBy(

@@ -20,6 +20,7 @@ from udacity_datalake_spark_spark.plans.wave15 import (
     cosupply_edges,
 )
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 
 @query(
@@ -71,7 +72,7 @@ def q381_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two label joins on the edge list (intra-edge count)
     plus one endpoint-grain degree aggregate — all graph-sized; the
     community frame is |nations|."""
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     s = read_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     lbl = s.select(F.col("s_suppkey").alias("x"), F.col("s_nationkey").alias("c"))
     m = edges.agg(F.count(F.lit(1)).alias("m"))
@@ -201,7 +202,7 @@ def q382_maxmin_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c") - F.col("prefix")) / (F.col("n") - F.col("r") + 1)).alias(
             "level"
         ),
-    ).persist()
+    ).transform(spersist)
     sat = levels.where(F.col("d") <= F.col("level")).agg(
         F.max("r").alias("r_sat")
     )

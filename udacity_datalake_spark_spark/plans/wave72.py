@@ -17,6 +17,7 @@ from udacity_datalake_spark_spark.plans.wave15 import (
     COSUPPLY_EDGES_SQL,
     cosupply_edges,
 )
+from udacity_datalake_spark_spark.scratch import spersist
 
 EC_ITERS = 4
 EC_SCALE = 1_000_000_000
@@ -79,7 +80,7 @@ def q390_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (the Pregel step); the normalizing total broadcasts;
     {EC_ITERS} fixed rounds keep the lineage bounded (checkpointing
     applies past ~10 rounds, as in operators.graph)."""
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     und = edges.select(F.col("u").alias("node"), F.col("w").alias("nbr")).unionAll(
         edges.select(F.col("w").alias("node"), F.col("u").alias("nbr"))
     ).localCheckpoint(eager=True)

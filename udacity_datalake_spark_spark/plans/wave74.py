@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 N_PREFIXES = 9  # train prefixes = deciles 1..9; decile 10 is held out
 
@@ -115,7 +116,7 @@ def q394_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("drank") * 10.0 / F.col("nd")).cast("long").alias("dec"),
             F.explode(F.split("text", " ")).alias("tok"),
         )
-        .persist()
+        .transform(spersist)
     )
     vocab = toks.agg(F.count_distinct("tok").alias("v"))
     train_counts = (
@@ -128,7 +129,7 @@ def q394_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(train_counts, train_counts.dec <= grid.d)
         .groupBy("d", "tok")
         .agg(F.sum("c").cast("long").alias("c_d"))
-        .persist()
+        .transform(spersist)
     )
     t_d = cum.groupBy("d").agg(F.sum("c_d").cast("long").alias("t"))
     held = toks.where(F.col("dec") == 10).groupBy("tok").agg(
@@ -165,7 +166,7 @@ def q394_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,6)")
             .alias("y"),
         )
-        .persist()
+        .transform(spersist)
     )
     fit = pts.agg(
         F.round(

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 #: a cluster whose weakest internal pair falls below this Jaccard is a
 #: chaining suspect (transitivity glued dissimilar docs together)
@@ -101,7 +102,7 @@ def q396_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = (
         d.where(F.size(tokens("text")) >= 3)
         .select("doc_id", shingles("text", 3).alias("arr"))
-        .persist()
+        .transform(spersist)
     )
     m1 = labels.select("component", F.col("doc_id").alias("d1"))
     m2 = labels.select("component", F.col("doc_id").alias("d2"))
@@ -192,7 +193,7 @@ def q397_index_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap join at (query × k) grain."""
     from udacity_datalake_spark_spark.operators.similarity import cosine_topk
 
-    emb = read_table(spark, sf_dir, "embeddings").persist()
+    emb = read_table(spark, sf_dir, "embeddings").transform(spersist)
     queries = emb.where(F.col("vec_id") < 5)
     mx = emb.agg(F.max("vec_id").alias("m"))
     stale_corpus = emb.crossJoin(F.broadcast(mx)).where(
@@ -299,7 +300,7 @@ def q398_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.abs(F.col("rev") - F.col("yhat")).alias("resid"),
         (F.col("rn") * 100 <= F.col("n") * CAL_SPLIT_PCT).alias("is_cal"),
-    ).persist()
+    ).transform(spersist)
     cal = scored.where("is_cal").select(
         "resid",
         F.row_number().over(Window.orderBy("resid", "d")).alias("rr"),
@@ -475,7 +476,7 @@ def q400_refresh_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: four independent single-scan aggregates (regex counts,
     key hashes, token sizes) plus the stitch key equi-join — every
     metric map-side except the bounded joins; no corpus-sized state."""
-    d = read_table(spark, sf_dir, "documents").persist()
+    d = read_table(spark, sf_dir, "documents").transform(spersist)
     n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     pii = d.agg(
         F.sum(
@@ -490,7 +491,7 @@ def q400_refresh_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pii_spans")
     )
-    toks = d.select("doc_id", F.split("text", " ").alias("l")).persist()
+    toks = d.select("doc_id", F.split("text", " ").alias("l")).transform(spersist)
     keys = toks.where(F.size("l") >= 6).select(
         "doc_id",
         F.array_join(F.slice("l", 1, 3), " ").alias("hk"),

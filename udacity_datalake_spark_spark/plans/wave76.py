@@ -19,6 +19,7 @@ from udacity_datalake_spark_spark.plans.wave15 import (
     cosupply_edges,
 )
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 N_FOLDS = 5  # mirrors q359
 
@@ -311,13 +312,13 @@ def q404_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     club subgraph comes from two degree-filter joins on the edge list
     (broadcast degree frame) — |ks| bounded passes over graph-sized
     data."""
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("w").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
+        .transform(spersist)
     )
     ks = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], "k int")
     club = (

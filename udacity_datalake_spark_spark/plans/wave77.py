@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.plans.registry import query
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 TZ_SHIFT_HOURS = 8
 
@@ -72,7 +73,7 @@ def q405_day_boundary_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("value").cast("decimal(18,2)") * 100, 0)
         .cast("long")
         .alias("cents"),
-    ).persist()
+    ).transform(spersist)
     utc_days = base.groupBy(F.col("d_utc").alias("d")).agg(
         F.sum("cents").cast("long").alias("rev_u")
     )
@@ -168,7 +169,7 @@ def q406_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "orders",
         columns=["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"],
-    ).persist()
+    ).transform(spersist)
     frames = []
     for col, bytes_expr in [
         ("o_orderstatus", F.sum(F.octet_length("o_orderstatus"))),
@@ -334,7 +335,7 @@ def q408_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = e.select(
         "user_id",
         (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
-    ).persist()
+    ).transform(spersist)
     nu = gaps.agg(F.count_distinct("user_id").alias("nu"))
     thresholds = spark.createDataFrame(
         [(g,) for g in SESSION_GAPS_MIN], "g int"

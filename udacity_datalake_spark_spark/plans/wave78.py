@@ -22,6 +22,7 @@ from udacity_datalake_spark_spark.plans.wave15 import (
     cosupply_edges,
 )
 from udacity_datalake_spark_spark.sources.readers import read_table
+from udacity_datalake_spark_spark.scratch import spersist
 
 BPE_ROUNDS = 6
 KCORE_K = 4
@@ -264,7 +265,7 @@ def q410_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed INSIDE the surviving subgraph.  Synchronous peel, fixed
     8 rounds (see ``kcore``); the unit test asserts the peel converges
     well within the budget."""
-    edges = cosupply_edges(spark, sf_dir).persist()
+    edges = cosupply_edges(spark, sf_dir).transform(spersist)
     return kcore(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
 
 
@@ -329,7 +330,7 @@ def q411_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
-        .persist()
+        .transform(spersist)
     )
     n = items.select("o").distinct().count()
     isup = items.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("sup"))

@@ -13,6 +13,7 @@ Covers the reference's scan surface (SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,6 +66,34 @@ def read_table(
     if columns is not None:
         df = df.select(*columns)
     return df
+
+
+def parquet_row_count(path: str) -> int | None:
+    """Exact row count of a parquet file/directory from FOOTER metadata
+    only — a handful of driver-side stat+footer reads, NO Spark job.
+
+    The lazy-strategy input for size-dependent operators (round 11,
+    VERDICT r10 #3): ``cosine_near_dup_pairs(prefilter='auto')`` used to
+    run ``corpus.count()`` at plan-construction time; builders that read
+    from parquet pass this footer count instead, keeping construction
+    job-free.  Returns None when the path isn't readable parquet (the
+    caller then falls back to a real count).
+    """
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            files = [
+                e.path
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith((".", "_"))
+            ]
+            if not files:
+                return None
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None) -> None:
