@@ -76,6 +76,12 @@ def run_shard(
     env = {
         **os.environ,
         "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_SHARD_CPUS", "8"),
+        # cap each shard's DuckDB oracle to its cpu budget — uncapped,
+        # every shard's oracle grabs all 32 cores and the sf1-heavy
+        # stretch runs ~6x oversubscribed (round 11, VERDICT r10 #1)
+        "SPARK_GRAFT_ORACLE_THREADS": os.environ.get(
+            "SPARK_GRAFT_SHARD_CPUS", "8"
+        ),
     }
     t0 = time.perf_counter()
     proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True)
