@@ -73,6 +73,7 @@ def write_summary_md(
     sf_dir: str,
     full_volume: bool,
     n_big_failures: int,
+    sf1_full: bool = False,
 ) -> None:
     """CORRECTNESS_LOCAL.md — one row per registry query across tiers."""
     n_ok = sum(1 for s in statuses.values() if s == "MATCH")
@@ -96,11 +97,20 @@ def write_summary_md(
         )
         + " — catches "
         "threshold/overflow effects invisible at sf0.01.  sf1 column: "
-        "the data-sensitive subset at the locally generated 10x tier "
-        "(scripts/make_sf1.py) when present — every entry re-verified "
+        + (
+            f"FULL-registry run ({len(sf1_statuses)} queries) at the "
+            "locally generated 10x tier (scripts/make_sf1.py) — the "
+            "once-per-round full-surface pass (VERDICT r10 #4)"
+            if sf1_full
+            else "the data-sensitive subset at the locally generated "
+            "10x tier (scripts/make_sf1.py) when present"
+        )
+        + " — every entry re-verified "
         "on each refresh (the round-6 MATCH* skip list is retired; "
         "the q56/q148 oracle+operator rework made them routine).  "
-        "Blank = not in the sensitive subset / tier absent.",
+        "Blank = not in the "
+        + ("run set" if sf1_full else "sensitive subset")
+        + " / tier absent.",
         "",
         "| query | status | sf0.1 | sf1 |",
         "|---|---|---|---|",
@@ -336,7 +346,17 @@ def main() -> None:
                 try:
                     pdf = qs[name](spark, SF1_DIR).toPandas()
                     if name in oracles:
-                        assert_frames_match(pdf, run_oracle(oracles[name], SF1_DIR))
+                        # bounded float tolerance at the 10x tier ONLY:
+                        # double aggregation order differs between engines
+                        # at 6M rows (last-ulp sums, rounded-digit flips) —
+                        # see assert_frames_match's docstring for the
+                        # measured cases this bar was tuned against.  The
+                        # driver's sf0.01 gate and the sf0.1 column stay
+                        # EXACT (rtol=atol=0).
+                        assert_frames_match(
+                            pdf, run_oracle(oracles[name], SF1_DIR),
+                            rtol=1e-9, atol=2e-6,
+                        )
                         sf1_statuses[name] = "MATCH"
                     else:
                         sf1_statuses[name] = "rows-only"
@@ -378,7 +398,7 @@ def main() -> None:
     if write_summary:
         write_summary_md(
             statuses, big_statuses, sf1_statuses, sf_dir, full_volume,
-            len(big_failures),
+            len(big_failures), sf1_full,
         )
     if failures or big_failures:
         sys.exit(1)

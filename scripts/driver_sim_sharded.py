@@ -198,7 +198,7 @@ def main() -> None:
 
             ds.write_summary_md(
                 statuses, big_statuses, sf1_statuses, sf_dir, full_volume,
-                len(big_failures),
+                len(big_failures), sf1_full,
             )
     if update_costs and complete and all_green and any(costs.values()):
         # refresh the measured cost table the LPT shard packing reads —

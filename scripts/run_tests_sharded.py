@@ -64,6 +64,7 @@ SHARDS: list[tuple[str, list[str], dict[str, str]]] = [
             "tests/test_properties.py",
             "tests/test_wave63_ops.py",
             "tests/test_scratch.py",
+            "tests/test_sf1_tier.py",
         ],
         {},
     ),

@@ -36,7 +36,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.iloc[order].reset_index(drop=True)
 
 
-def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol: float = 0.0) -> None:
+def assert_frames_match(
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    rtol: float = 0.0,
+    atol: float = 0.0,
+) -> None:
+    """rtol/atol apply to float columns only; the default (0, 0) is the
+    driver gate's EXACT equality.  The sf1 volume tier passes a bounded
+    (rtol=1e-9, atol=2e-6) because double aggregation order differs
+    between engines — at 6M rows Spark's and DuckDB's partial-sum trees
+    diverge in the last ulp (q01 sum_charge: |diff| 3.8e-6 on 2.8e10,
+    relative 1.4e-16), and columns rounded to 6 decimals can flip the
+    final digit when the pre-round values straddle the boundary
+    (q130/q224 avg_nll: |diff| exactly 1e-6).  Real defects stay
+    visible: the q116 divergence this tolerance was tuned against was
+    relative 1e-3, six orders above the bar."""
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"column mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
     )
@@ -50,10 +65,10 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol:
             avn = av.astype(float).to_numpy()
             bvn = bv.astype(float).to_numpy()
             both_nan = np.isnan(avn) & np.isnan(bvn)
-            if rtol == 0.0:
+            if rtol == 0.0 and atol == 0.0:
                 ok = (avn == bvn) | both_nan
             else:
-                ok = np.isclose(avn, bvn, rtol=rtol, equal_nan=True)
+                ok = np.isclose(avn, bvn, rtol=rtol, atol=atol, equal_nan=True)
             if not ok.all():
                 bad = int(np.argmin(ok))
                 raise AssertionError(

@@ -173,7 +173,7 @@ def q115_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         WHERE l_returnflag = 'R'
     ), marked AS (
-        SELECT l_suppkey, s, e,
+        SELECT l_suppkey, s, e, l_orderkey, l_linenumber,
                CASE WHEN s > max(e) OVER (
                    PARTITION BY l_suppkey ORDER BY s, e, l_orderkey, l_linenumber
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -182,7 +182,7 @@ def q115_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), islands AS (
         SELECT l_suppkey, s, e,
                sum(new_island) OVER (
-                   PARTITION BY l_suppkey ORDER BY s, e
+                   PARTITION BY l_suppkey ORDER BY s, e, l_orderkey, l_linenumber
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
         FROM marked
     ), merged AS (
@@ -210,6 +210,14 @@ def q116_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     while this is O(n log n) (the in-partition sort) with no extra
     shuffle.  Window frames and the island aggregate reuse the same
     partitioning, so Catalyst plans a single Exchange.
+
+    Both oracle window passes ORDER BY the full (s, e, l_orderkey,
+    l_linenumber) total order: with duplicate (s, e) pairs per supplier
+    (common in the sf1 fixture's keyed replication) an ORDER BY s, e
+    alone lets the engine permute tied rows differently between the
+    flag pass and the prefix-sum pass, re-assigning tied rows across
+    island boundaries (seen at sf1: 876 covered_days mismatches).  The
+    Spark side already uses the total order in both windows.
     """
     iv = (
         read_table(

@@ -66,16 +66,16 @@ def q53_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q54_session_window",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, ts,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL 10 MINUTE
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ),
     sessions AS (
         SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM ordered
     )
@@ -90,7 +90,16 @@ def q53_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q54_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (10 min): Spark's session_window vs. the
     classic gaps-and-islands SQL — same sessions, same bounds
-    (end = last event + gap)."""
+    (end = last event + gap).
+
+    The oracle's two window passes ORDER BY (ts, event_id) — a TOTAL
+    order.  With duplicate timestamps per user (the sf1 fixture's keyed
+    replication creates exact ts collisions) an ORDER BY ts alone lets
+    the engine permute tied rows differently between the flag pass and
+    the running-sum pass, splitting one session into two (seen at sf1:
+    98528 vs 98522 sessions).  Spark's session_window is order-insensitive
+    here; the tie-break makes the SQL twin deterministic too.
+    """
     return session_window_agg(read_table(spark, sf_dir, "events"))
 
 
