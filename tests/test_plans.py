@@ -415,7 +415,14 @@ _WAVE34PLUS_PLAN_BUDGET = {
     "q275_return_rate_ci": (1, 0, 0),
     "q276_price_dispersion": (1, 0, 0),
     "q277_duplicate_orders": (1, 0, 0),
-    "q278_segment_migration": (7, 0, 0),
+    # round 11: global_ntile's offsets/total moved from a driver collect
+    # into the plan (window over the ≤n_buckets-row counts frame + a
+    # broadcast 1-row total) — the static plan text now repeats the
+    # bucketed subtree per consumer (AQE reuses the exchange at runtime)
+    # and each ranking call carries bounded single-partition exchanges
+    # and a 1-row-stats BNLJ, both within this table's documented
+    # discipline; measured 3.98 s → 2.54 s at sf0.1
+    "q278_segment_migration": (15, 4, 4),
     "q279_cohort_ltv_curve": (6, 0, 0),
     "q280_source_style_similarity": (2, 0, 2),
     "q281_reliability_ranking": (1, 0, 0),

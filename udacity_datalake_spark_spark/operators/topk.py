@@ -187,30 +187,37 @@ def _bucketed_ranking(
     n_buckets: int,
 ) -> tuple[DataFrame, int]:
     """Shared core of global_row_number/global_ntile: the ranked frame
-    plus the EXACT total row count (already known from the per-bucket
-    counts — no extra job)."""
+    plus a 1-row frame carrying the EXACT total row count.
+
+    Offsets and the total are computed IN THE PLAN (round 11): the
+    per-bucket counts collapse to a ≤(n_buckets+2)-row frame, each
+    bucket's offset is the window prefix-sum of earlier buckets' counts
+    (exactly ``global_running_sum``'s own offsets trick), and the total
+    is one more tiny aggregate of the same counts frame.  The previous
+    form collected the counts to the driver and re-sent them as a
+    literal frame — a third full evaluation of ``df`` (quantile probe +
+    counts pass + ranked output) and an extra driver round-trip per
+    call; now the counts pass and the ranked output share one
+    evaluation (and one exchange — both are keyed on ``__bucket``, so
+    ReuseExchange ships the bucketed frame once; guide §2.4), and the
+    only remaining eager action is the quantile probe itself."""
     bucketed = _assign_buckets(df, bucket_col, descending, n_buckets)
 
-    counts = {
-        r["__bucket"]: r["cnt"]
-        for r in bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, running = {}, 0
-    for b in sorted(counts):
-        offsets[b] = running
-        running += counts[b]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(b, o) for b, o in offsets.items()] or [(0, 0)], "__bucket int, __offset long"
+    counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    woff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__offset"),
     )
+    total = counts.agg(F.sum("__cnt").alias("__total"))
 
     w = Window.partitionBy("__bucket").orderBy(*order_by)
     ranked = (
-        bucketed.join(F.broadcast(off_df), "__bucket")
+        bucketed.join(F.broadcast(offs), "__bucket")
         .withColumn(out_col, F.row_number().over(w) + F.col("__offset"))
         .drop("__bucket", "__offset")
     )
-    return ranked, running
+    return ranked, total
 
 
 def global_row_number(
@@ -239,10 +246,12 @@ def global_row_number(
     The output is EXACTLY the global row_number for any boundary set:
     boundaries only decide where buckets split, never relative order —
     equal keys share a bucket (strict comparisons) and ties resolve in
-    the local window under the full ``order_by``.  Builds eagerly (two
-    small jobs: quantiles + bucket counts).
+    the local window under the full ``order_by``.  Builds eagerly (one
+    small job: the quantile probe; offsets are plan-side since round 11).
     """
-    ranked, _ = _bucketed_ranking(df, order_by, bucket_col, out_col, descending, n_buckets)
+    ranked, _total = _bucketed_ranking(
+        df, order_by, bucket_col, out_col, descending, n_buckets
+    )
     return ranked
 
 
@@ -260,15 +269,28 @@ def global_ntile(
     total row count comes from the ranking pass's own bucket counts (no
     second scan), and the tile arithmetic is integer ``div`` throughout
     (no floor-of-double at tile boundaries)."""
-    ranked, n = _bucketed_ranking(df, order_by, bucket_col, "__grn", descending, n_buckets)
-    q, rem = divmod(n, n_tiles) if n else (0, 0)
-    if q == 0:
-        tile = F.col("__grn")  # fewer rows than tiles: row i → tile i
-    else:
-        big = rem * (q + 1)
+    ranked, total = _bucketed_ranking(
+        df, order_by, bucket_col, "__grn", descending, n_buckets
+    )
+    # tile arithmetic with the total as a broadcast 1-row COLUMN (no
+    # driver action — round 11): q = n div tiles, rem = n % tiles, the
+    # first rem tiles take q+1 rows.  Same integer expressions as the
+    # former literal form, term for term; the q = 0 branch (fewer rows
+    # than tiles: row i → tile i) is the first WHEN arm, so the
+    # divisions in the later arms never see a zero divisor.
+    withn = ranked.crossJoin(F.broadcast(total)).select(
+        "*",
+        F.expr(f"__total div {n_tiles}").alias("__q"),
+        F.expr(f"__total % {n_tiles}").alias("__rem"),
+    )
+    withn = withn.withColumn("__big", F.expr("__rem * (__q + 1)"))
+    tile = (
+        F.when(F.col("__q") == 0, F.col("__grn"))
+        .when(F.col("__grn") <= F.col("__big"), F.expr("(__grn + __q) div (__q + 1)"))
         # ceil(a/b) as exact integer math: (a + b - 1) div b
-        tile = F.when(
-            F.col("__grn") <= big,
-            F.expr(f"(__grn + {q}) div {q + 1}"),
-        ).otherwise(F.expr(f"{rem} + (__grn - {big} + {q - 1}) div {q}"))
-    return ranked.withColumn(out_col, tile.cast("int")).drop("__grn")
+        .otherwise(F.expr("__rem + (__grn - __big + __q - 1) div __q"))
+    )
+    return (
+        withn.withColumn(out_col, tile.cast("int"))
+        .drop("__grn", "__total", "__q", "__rem", "__big")
+    )

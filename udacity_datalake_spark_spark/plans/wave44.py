@@ -97,7 +97,14 @@ def q301_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency FROM tf, not from a second tokenize pass: tf has
+    # exactly one row per (doc, term), so count(*) per term IS
+    # count(DISTINCT doc_id) — and the tf subtree now appears on both
+    # paths, so its exchange is computed once (ReuseExchange) instead of
+    # the corpus being exploded and distinct-aggregated twice
+    # (round 11, guide §2.3/§2.4: one tokenize pass, no countDistinct
+    # double exchange)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
         tf.join(dfreq, "term")
@@ -124,9 +131,23 @@ def q301_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "w")
         .transform(spersist)
     )
-    norms = topw.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    # per-doc norm as a WINDOW over topw (partitioned by doc_id — the
+    # partitioning topw's own admission window just established, so no
+    # exchange) and CARRIED THROUGH the postings into the pair join:
+    # the norm then rides the candidate rows and re-attaches to each
+    # (d1, d2) pair via first() inside the dot-product aggregation,
+    # replacing the two pair-grain norm joins of the previous plan
+    # (round 11, guide §2.3 "shuffle keys and metadata instead of
+    # payloads" / §2.4 — at 100 TB the pair frame is the biggest frame
+    # in this query and it no longer re-shuffles twice to pick up
+    # norms).  sum(w*w) is an exact DECIMAL sum, so window-vs-groupBy
+    # evaluation order cannot change a bit of the double it casts to.
+    nrm = F.sqrt(
+        F.sum(F.col("w") * F.col("w"))
+        .over(Window.partitionBy("doc_id"))
+        .cast("double")
     )
+    topn = topw.withColumn("nrm", nrm)
     # Impact-ordered posting pruning (Anh & Moffat): each term's posting
     # list keeps only its 200 highest-weight docs, so the candidate join
     # is bounded by Σ_t min(|postings(t)|, 200)² — the knob that makes
@@ -137,30 +158,48 @@ def q301_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("term").orderBy(F.col("w").desc(), "doc_id")
     )
     pruned = (
-        topw.withColumn("pr", pr).where(F.col("pr") <= 200).select("doc_id", "term", "w")
+        topn.withColumn("pr", pr)
+        .where(F.col("pr") <= 200)
+        .select("doc_id", "term", "w", "nrm")
     )
-    a = pruned.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("wa"))
-    b = pruned.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("wb"))
+    a = pruned.select(
+        F.col("doc_id").alias("d1"), "term", F.col("w").alias("wa"),
+        F.col("nrm").alias("na"),
+    )
+    b = pruned.select(
+        F.col("doc_id").alias("d2"), "term", F.col("w").alias("wb"),
+        F.col("nrm").alias("nb"),
+    )
+    # na/nb are constant within a (d1, d2) group (one doc, one norm), so
+    # first() re-attaches them with zero extra joins
     dots = (
         a.join(b, "term")
         .where(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
-        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
-    )
-    cos = (
-        dots.join(
-            norms.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("na")), "d1"
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
         )
-        .join(
-            norms.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nb")), "d2"
-        )
-        .select("d1", "d2", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"))
-        # persisted: consumed by both directions of the mirror union
-        .transform(spersist)
     )
+    cos = dots.select(
+        "d1", "d2", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine")
+    )
+    # mirror both directions with ONE pass over the pair frame (inline of
+    # a 2-element struct array) instead of union+persist — the pair frame
+    # is consumed once, so the cache and its second scan go away
     sims = cos.select(
-        F.col("d1").alias("qid"), F.col("d2").alias("nid"), "cosine"
-    ).unionAll(cos.select(F.col("d2").alias("qid"), F.col("d1").alias("nid"), "cosine"))
+        F.inline(
+            F.array(
+                F.struct(
+                    F.col("d1").alias("qid"), F.col("d2").alias("nid"), F.col("cosine")
+                ),
+                F.struct(
+                    F.col("d2").alias("qid"), F.col("d1").alias("nid"), F.col("cosine")
+                ),
+            )
+        )
+    )
     rnk = F.row_number().over(
         Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     )

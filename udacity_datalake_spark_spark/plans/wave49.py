@@ -170,11 +170,21 @@ def q319_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select("u", "w").unionAll(
         edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
     )
+    # wedge join keyed on the CENTER node from both sides: a wedge
+    # x–m–y is two und rows (m, x) and (m, y) sharing first column m,
+    # so both join inputs are the SAME projection of und keyed the same
+    # way and Catalyst's ReuseExchange ships und through ONE shuffle
+    # instead of two (the previous b.u == a.w form keyed one side by w
+    # and the other by u — two full exchanges of the mirrored edge
+    # list; round 11, guide §2.4 "two operations keyed the same way can
+    # share one exchange").  Row-for-row identical candidates: (m, x),
+    # (m, y) with x < y ⟺ the old (x, m), (m, y) with x < y.
+    a = und.select(F.col("u").alias("m"), F.col("w").alias("x"))
+    b = und.select(F.col("u").alias("m"), F.col("w").alias("y"))
     cand = (
-        und.alias("a")
-        .join(und.alias("b"), F.col("b.u") == F.col("a.w"))
-        .where(F.col("a.u") < F.col("b.w"))
-        .groupBy(F.col("a.u").alias("x"), F.col("b.w").alias("y"))
+        a.join(b, "m")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     non_edges = cand.join(
