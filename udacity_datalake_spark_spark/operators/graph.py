@@ -63,9 +63,16 @@ def connected_components(
     # yields the identical min-label result.  Large graphs take the
     # distributed loop below unchanged.
     # (tests pass small_graph_threshold=0 to exercise the distributed loop)
-    n_edges = ed.count()
-    if n_edges <= small_graph_threshold:
-        pairs = [(r[0], r[1]) for r in ed.collect()]
+    # ONE action decides the gate AND fetches the edges (round 11): take
+    # threshold+1 rows — if the take returns <= threshold rows it
+    # necessarily returned EVERY edge (take only truncates past its
+    # limit), so the union-find path already has its input and the
+    # separate count()+collect() pair collapses to a single driver
+    # round-trip; if it returns threshold+1 rows the graph is large and
+    # the distributed loop never needed the exact count anyway.
+    head = ed.take(small_graph_threshold + 1)
+    if len(head) <= small_graph_threshold:
+        pairs = [(r[0], r[1]) for r in head]
         parent: dict = {}
 
         def _find(x):

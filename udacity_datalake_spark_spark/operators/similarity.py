@@ -596,12 +596,19 @@ def kcenter_select(
             F.col(vec_col).alias("__v"),
             F.round(dist_udf(mat)(F.col(vec_col)), 9).alias("__d"),
         )
-        # radius of the CURRENT cover + the farthest point in one pass;
-        # smallest-id tie-break via (-id) inside the struct max
+        # radius of the CURRENT cover + the farthest point + ITS VECTOR
+        # in one pass: the vector rides the max struct behind the
+        # (d, -id) total order — (d, -id) is unique per row, so the
+        # array field never participates in the comparison and the
+        # second corpus scan (the old per-round point-fetch .first())
+        # is gone: ONE action per round (round 11, guide §5 driver).
+        # Smallest-id tie-break via (-id) inside the struct max.
         far = scored.agg(
-            F.max(F.struct(F.col("__d"), (-F.col("__id")).alias("__nid"))).alias(
-                "__far"
-            )
+            F.max(
+                F.struct(
+                    F.col("__d"), (-F.col("__id")).alias("__nid"), F.col("__v")
+                )
+            ).alias("__far")
         ).first()["__far"]
         radius = float(far["__d"])
         out.append((rank, centers[-1][0] if rank > 1 else centers[0][0], radius))
@@ -615,10 +622,5 @@ def kcenter_select(
         if radius == 0.0:
             break
         next_id = int(-far["__nid"])
-        vec = (
-            corpus.where(F.col(id_col) == next_id)
-            .select(F.col(vec_col).alias("__v"))
-            .first()["__v"]
-        )
-        centers.append((next_id, np.array(vec, dtype=np.float64)))
+        centers.append((next_id, np.array(far["__v"], dtype=np.float64)))
     return out

@@ -187,7 +187,12 @@ def sparse_cosine_pairs(
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency FROM tf (one row per (doc, term), so count(*)
+    # per term IS countDistinct(doc)): one tokenize pass instead of two,
+    # and tf's exchange is shared between both consumers via
+    # ReuseExchange (round 11, guide §2.3/§2.4 — q301's rewrite applied
+    # to the underlying operator)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
         tf.join(dfreq, "term")
@@ -213,35 +218,49 @@ def sparse_cosine_pairs(
     )
     if persist:
         topw = scratch.track(topw, scope=_SCRATCH_SCOPE, replace=True)
-    norms = topw.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    # per-doc norm as a window over topw (partitioned by doc_id — the
+    # admission window's own partitioning, so no exchange) and CARRIED
+    # THROUGH the postings into the pair join, re-attached per pair with
+    # first(): the pair-grain frame no longer re-shuffles twice to pick
+    # up norms (round 11, guide §2.3/§2.4; q301's rewrite applied to
+    # the operator).  Norms still come from the UNCUT per-doc vectors —
+    # the window runs BEFORE the posting cap.  sum(w*w) is an exact
+    # DECIMAL sum, so window-vs-groupBy evaluation order cannot change
+    # a bit of the double it casts to.
+    nrm = F.sqrt(
+        F.sum(F.col("w") * F.col("w"))
+        .over(Window.partitionBy("doc_id"))
+        .cast("double")
     )
-    postings = topw
+    postings = topw.withColumn("nrm", nrm)
     if posting_cap is not None:
         pr = F.row_number().over(
             Window.partitionBy("term").orderBy(F.col("w").desc(), "doc_id")
         )
         postings = (
-            topw.withColumn("pr", pr)
+            postings.withColumn("pr", pr)
             .where(F.col("pr") <= posting_cap)
-            .select("doc_id", "term", "w")
+            .select("doc_id", "term", "w", "nrm")
         )
-    a = postings.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("wa"))
-    b = postings.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("wb"))
+    a = postings.select(
+        F.col("doc_id").alias("d1"), "term", F.col("w").alias("wa"),
+        F.col("nrm").alias("na"),
+    )
+    b = postings.select(
+        F.col("doc_id").alias("d2"), "term", F.col("w").alias("wb"),
+        F.col("nrm").alias("nb"),
+    )
     dots = (
         a.join(b, "term")
         .where(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
-        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
     )
     cos = F.col("dot") / (F.col("na") * F.col("nb"))
-    return (
-        dots.join(
-            norms.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("na")), "d1"
-        )
-        .join(
-            norms.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nb")), "d2"
-        )
-        .where(cos >= threshold)
-        .select("d1", "d2", F.round(cos, 6).alias("cosine"))
+    return dots.where(cos >= threshold).select(
+        "d1", "d2", F.round(cos, 6).alias("cosine")
     )
