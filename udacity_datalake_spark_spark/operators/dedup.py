@@ -472,7 +472,28 @@ def minhash_lsh_pairs(
         base = tagged.where(F.col(id_col) == F.col("__rep")).select(
             id_col, text_col
         )
-    sig = minhash_signatures(base, id_col, text_col, n, k)
+    # ONE corpus shingle pass (round 11): the per-doc shingle ARRAYS the
+    # exact-Jaccard verify needs are computed (and persisted) up front,
+    # and the signature aggregation explodes THOSE instead of
+    # re-tokenizing the corpus — the same share the containment operator
+    # already used.  Shingling is the CPU-dominant stage of every dedup
+    # path (explode_shingles docstring), so this halves the per-corpus
+    # transform work; shingle strings are identical, so signatures and
+    # all downstream results are byte-unchanged.
+    arrs = (
+        spread(base)
+        .where(F.size(tokens(text_col)) >= n)
+        .select(F.col(id_col), shingles(text_col, n).alias("__arr"))
+        .withColumn("__sz", F.size("__arr"))
+        .transform(spersist)  # feeds the signature pass AND both verify joins
+    )
+    hashed = arrs.select(F.col(id_col), F.explode("__arr").alias("shingle")).select(
+        F.col(id_col), F.xxhash64(F.col("shingle")).alias("__sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}") for i in range(k)
+    ]
+    sig = hashed.groupBy(id_col).agg(*mins)
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -534,17 +555,11 @@ def minhash_lsh_pairs(
 
     # exact-Jaccard verification restricted to the candidate set, same
     # array-side verify as ngram_jaccard_pairs: two equi-joins pull the
-    # per-doc shingle ARRAYS onto each candidate pair and
+    # per-doc shingle ARRAYS (the persisted ``arrs`` frame the signature
+    # pass already materialized) onto each candidate pair and
     # ``array_intersect`` counts true overlap inside codegen — no second
     # exploded string-keyed shuffle (the exchange carries one array per
     # doc, and only for docs that appear in a candidate pair)
-    arrs = (
-        spread(base)
-        .where(F.size(tokens(text_col)) >= n)
-        .select(F.col(id_col), shingles(text_col, n).alias("__arr"))
-        .withColumn("__sz", F.size("__arr"))
-        .transform(spersist)  # feeds both candidate joins — shingle once, not twice
-    )
     jac = F.col("__inter").cast("double") / (F.col("__sz1") + F.col("__sz2") - F.col("__inter"))
     verified = (
         candidates.join(
