@@ -334,8 +334,12 @@ def test_degree_oriented_triangles_property(spark, edges):
     if not und:
         return
     df = spark.createDataFrame(sorted(und), "u long, w long")
-    got = triangles(df, orientation="degree").first().n_triangles
-    got_id = triangles(df, orientation="id").first().n_triangles
+    # dense_gate_edges=0 forces the distributed wedge paths (round 11:
+    # the gated driver-matmul path would otherwise absorb every small
+    # hypothesis graph); the dense path has its own equality test below
+    got = triangles(df, orientation="degree", dense_gate_edges=0).first().n_triangles
+    got_id = triangles(df, orientation="id", dense_gate_edges=0).first().n_triangles
+    got_dense = triangles(df).first().n_triangles
 
     adj: dict[int, set[int]] = {}
     for u, w in und:
@@ -349,6 +353,7 @@ def test_degree_oriented_triangles_property(spark, edges):
     )
     assert got == want, (sorted(und), got, want)
     assert got_id == want, (sorted(und), got_id, want)
+    assert got_dense == want, (sorted(und), got_dense, want)
 
 
 def test_degree_oriented_triangles_hub_graph(spark):
@@ -365,8 +370,14 @@ def test_degree_oriented_triangles_hub_graph(spark):
     edges = [(hub, i) for i in range(1, n + 1)] + [(1, 2)]
     df = spark.createDataFrame(edges, "u long, w long")
     assert triangles(df).first().n_triangles == 1
-    # force the S-V path too (auto picks id here: 80k wedges fits budget)
-    assert triangles(df, orientation="degree").first().n_triangles == 1
+    # force the distributed S-V path too (the dense gate would absorb
+    # this 401-edge graph; auto picks id there: 80k wedges fits budget)
+    assert (
+        triangles(df, orientation="degree", dense_gate_edges=0)
+        .first()
+        .n_triangles
+        == 1
+    )
 
     # Wedge-count bound: Σ C(out-deg, 2) with degree orientation.
     from pyspark.sql import functions as F2

@@ -637,3 +637,31 @@ def test_hot_gram_memo_refingerprints_on_in_place_rewrite(spark, tmp_path):
         map(tuple, pdf2.values.tolist())
     )
     wave47.clear_hot_gram_memo()
+
+
+def test_link_prediction_dense_equals_wedge(spark):
+    """The gated dense (driver-matmul) and distributed (wedge-join)
+    forms of link_prediction_topk must produce IDENTICAL rows — the
+    q319 oracle pins whichever path the gate picks, so path equality is
+    the invariant that makes the gate a pure performance decision
+    (round 11; the union-find-gate pattern applied to common-neighbor
+    counting).  Planted graph with common-neighbor ties so the
+    (n_common DESC, x, y) tie-break is exercised on both paths."""
+    from udacity_datalake_spark_spark.plans.wave49 import link_prediction_topk
+
+    # K4 on {1,2,3,4} plus a path 4-5, 5-6, 6-7 and an isolated edge 8-9:
+    # non-adjacent pairs with shared neighbors at several counts + ties
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (6, 7), (8, 9)],
+        "u long, w long",
+    )
+    dense = link_prediction_topk(spark, edges, k=20)
+    wedge = link_prediction_topk(
+        spark, edges, k=20, dense_gate_edges=0  # force the distributed path
+    )
+    assert dense.schema == wedge.schema
+    assert [tuple(r) for r in dense.collect()] == [tuple(r) for r in wedge.collect()]
+    # sanity: (1,5),(2,5),(3,5) share neighbor 4; (4,6) shares 5 …
+    got = {(r["x"], r["y"]): r["n_common"] for r in dense.collect()}
+    assert got[(1, 5)] == 1 and got[(4, 6)] == 1 and (1, 2) not in got

@@ -127,6 +127,114 @@ def q318_admission_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Dense-graph gate for link_prediction_topk: below BOTH bounds the
+#: common-neighbor counts come from one BLAS matmul on the driver —
+#: the same bounded-driver-materialization class as the ≤1e5-edge
+#: union-find gate in operators.graph (collected bytes ≤ ~3 MB; the
+#: n×n count matrix at the node cap is 4096² × 4 B = 64 MB).  Above
+#: either bound the distributed wedge join runs unchanged.
+MAX_DENSE_CN_EDGES = 200_000
+MAX_DENSE_CN_NODES = 4_096
+
+
+def link_prediction_topk(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 20,
+    dense_gate_edges: int = MAX_DENSE_CN_EDGES,
+    dense_gate_nodes: int = MAX_DENSE_CN_NODES,
+) -> DataFrame:
+    """Top-``k`` NON-adjacent pairs of the undirected graph ``edges``
+    (columns u < w) ranked by common-neighbor count (ties → smaller x,
+    then smaller y).  Two physical forms, identical output (pinned by
+    tests/test_wave4x_ops.py::test_link_prediction_dense_equals_wedge):
+
+    - **dense/small** (both gates pass): ONE ``take`` fetches the edge
+      list, counts come from a symmetric adjacency matmul (A·A in
+      float32 BLAS — exact: counts ≤ n < 2²⁴), non-edges masked, top-k
+      sorted driver-side.  The wedge join's Σ deg² fan-out (91 M rows
+      on the sf0.1 co-supply graph — a DENSE 1000-node graph) collapses
+      to an O(n²) matmul that BLAS finishes in milliseconds.
+    - **distributed** (either gate exceeded): the wedge self-join keyed
+      on the CENTER node — both join inputs are the SAME projection of
+      the mirrored edge list keyed the same way, so the join's build
+      side is constructed once (guide §2.4) — map-side-combined into
+      (x, y) counts, edge anti-join, ranked_topk (no global sort).
+    """
+    from pyspark.sql import types as T
+
+    # Arrow-columnar fetch, NOT take(): take() deserializes one py4j Row
+    # per edge (~1-2 s at 151 k edges), toPandas moves the two int64
+    # columns as Arrow buffers in milliseconds (guide §6 Arrow-for-
+    # driver-transfers; the session enables arrow.pyspark).
+    pdf = edges.limit(dense_gate_edges + 1).toPandas()
+    # mirror the distributed path's schema exactly, nullability included
+    # (x/y inherit the edge columns'; count/row_number are non-null)
+    out_schema = T.StructType(
+        [
+            T.StructField("x", edges.schema[0].dataType, edges.schema[0].nullable),
+            T.StructField("y", edges.schema[1].dataType, edges.schema[1].nullable),
+            T.StructField("n_common", T.LongType(), False),
+            T.StructField("rn", T.IntegerType(), False),
+        ]
+    )
+    if len(pdf) <= dense_gate_edges:
+        import numpy as np
+
+        u = pdf.iloc[:, 0].to_numpy(dtype=np.int64, copy=False)
+        w = pdf.iloc[:, 1].to_numpy(dtype=np.int64, copy=False)
+        ids = np.unique(np.concatenate([u, w]))  # ascending
+        if len(ids) == 0:
+            return spark.createDataFrame([], out_schema)
+        if len(ids) <= dense_gate_nodes:
+            n = len(ids)
+            ui = np.searchsorted(ids, u)
+            wi = np.searchsorted(ids, w)
+            A = np.zeros((n, n), dtype=np.float32)
+            A[ui, wi] = 1.0
+            A[wi, ui] = 1.0
+            # A@A[i,j] = |N(i) ∩ N(j)| — exact in float32 below 2^24
+            C = (A @ A).astype(np.int64)
+            iu, ju = np.triu_indices(n, k=1)
+            nc = C[iu, ju]
+            keep = (nc > 0) & (A[iu, ju] == 0.0)
+            # ids is ascending, so compacted i < j ⟺ original x < y
+            cands = sorted(
+                zip(nc[keep].tolist(), iu[keep].tolist(), ju[keep].tolist()),
+                key=lambda t: (-t[0], t[1], t[2]),
+            )[:k]
+            rows = [
+                (int(ids[i]), int(ids[j]), int(c), r + 1)
+                for r, (c, i, j) in enumerate(cands)
+            ]
+            return spark.createDataFrame(rows, out_schema)
+    und = edges.select("u", "w").unionAll(
+        edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    )
+    a = und.select(F.col("u").alias("m"), F.col("w").alias("x"))
+    b = und.select(F.col("u").alias("m"), F.col("w").alias("y"))
+    cand = (
+        a.join(b, "m")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    non_edges = cand.join(
+        edges.select(F.col("u").alias("x"), F.col("w").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    return ranked_topk(
+        non_edges.select(
+            "x", "y", F.col("n_common").cast("long").alias("n_common")
+        ),
+        [F.col("n_common").desc(), F.col("x"), F.col("y")],
+        k,
+        rank_col="rn",
+    )
+
+
+
 @query(
     "q319_link_prediction",
     oracle=f"""
@@ -160,43 +268,16 @@ def q319_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the classic candidate generator for graph completion (and
     the same score q229's item recommender thresholds).
 
-    Scale shape: the wedge self-join's fan-out is Σ deg² (the q212
-    analysis; degree orientation is the documented refinement for
-    power-law graphs), candidates collapse map-side into (x, y) counts
-    before one pair-keyed exchange, the existing-edge anti-join is
-    edge-sized, and the top-20 plans as TakeOrderedAndProject via
-    ranked_topk — no global sort."""
+    Scale shape (``link_prediction_topk``): past the bounded-size gate
+    the wedge self-join's fan-out is Σ deg² (the q212 analysis),
+    candidates collapse map-side into (x, y) counts before one
+    pair-keyed exchange, the existing-edge anti-join is edge-sized, and
+    the top-20 plans as TakeOrderedAndProject via ranked_topk — no
+    global sort.  Below the gate (the co-supply graph is DENSE and
+    small at bench SFs: 1000 nodes / 151 k edges / 91 M wedge rows at
+    sf0.1) the identical ranking comes from one driver-side BLAS
+    matmul over the collected edge list — the union-find-gate pattern
+    (operators.graph) applied to common-neighbor counting; measured
+    2.97 s → ~1.1 s at sf0.1."""
     edges = cosupply_edges(spark, sf_dir).transform(spersist)
-    und = edges.select("u", "w").unionAll(
-        edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
-    )
-    # wedge join keyed on the CENTER node from both sides: a wedge
-    # x–m–y is two und rows (m, x) and (m, y) sharing first column m,
-    # so both join inputs are the SAME projection of und keyed the same
-    # way and Catalyst's ReuseExchange ships und through ONE shuffle
-    # instead of two (the previous b.u == a.w form keyed one side by w
-    # and the other by u — two full exchanges of the mirrored edge
-    # list; round 11, guide §2.4 "two operations keyed the same way can
-    # share one exchange").  Row-for-row identical candidates: (m, x),
-    # (m, y) with x < y ⟺ the old (x, m), (m, y) with x < y.
-    a = und.select(F.col("u").alias("m"), F.col("w").alias("x"))
-    b = und.select(F.col("u").alias("m"), F.col("w").alias("y"))
-    cand = (
-        a.join(b, "m")
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    non_edges = cand.join(
-        edges.select(F.col("u").alias("x"), F.col("w").alias("y")),
-        ["x", "y"],
-        "left_anti",
-    )
-    return ranked_topk(
-        non_edges.select(
-            "x", "y", F.col("n_common").cast("long").alias("n_common")
-        ),
-        [F.col("n_common").desc(), F.col("x"), F.col("y")],
-        20,
-        rank_col="rn",
-    )
+    return link_prediction_topk(spark, edges, k=20)
