@@ -389,6 +389,23 @@ def test_bench_headline_line_fits_tail():
         f"bench.py final stdout line is {len(final_line)} chars — the "
         "driver tail window is 2000; keep per-query payload OFF this line"
     )
+    # Round 12 (VERDICT r11 #2): the per-query detail line now prints
+    # IMMEDIATELY before the final line so the driver's tail parser sees
+    # per-query seconds (PERF r10/r11 had per_query:{} because the drift
+    # dicts crowded it out).  Pin detail+final inside the 2000-char tail
+    # at worst-case 4-decimal values so headliner growth can't silently
+    # push the detail line back out.
+    detail_line = json.dumps(
+        {
+            "metric": "headline_queries_detail",
+            "queries": {n: 12.3456 for n in bench.HEADLINE},
+            "sf": 0.1,
+        }
+    )
+    assert len(detail_line) + 1 + len(final_line) < 2000, (
+        f"detail ({len(detail_line)}) + final ({len(final_line)}) lines "
+        "exceed the driver's 2000-char stdout tail window"
+    )
     for name in bench.HEADLINE:
         assert name in QUERIES, f"HEADLINE names unregistered query {name}"
     for name in bench.HEADLINE_FULL:

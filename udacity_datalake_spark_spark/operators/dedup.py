@@ -27,6 +27,16 @@ from udacity_datalake_spark_spark.operators.text import (
 from udacity_datalake_spark_spark.scratch import spersist
 
 MINHASH_K = 128  # signature length
+#: MinHash hash-scheme version (ADVICE r11): round 11 moved to the
+#: one-hash construction (h = xxhash64(shingle); h_i = xxhash64(i, h)).
+#: Any persisted LSH index (the materialized banded table described in
+#: ``incremental_lsh_probe``) built under a DIFFERENT scheme version
+#: produces zero collisions against fresh signatures — silently missed
+#: near-dups, no error — so deployments must stamp their indexes with
+#: this constant and invalidate on mismatch.  Bump it whenever the
+#: signature derivation changes.  In-repo paths always recompute both
+#: sides, so they are scheme-agnostic.
+MINHASH_SCHEME = 2
 # 32 bands × 4 rows: a pair at exactly J=0.6 collides in ≥1 band with
 # probability 1−(1−0.6⁴)³² ≈ 0.988 (16 bands gave only ≈0.89); pairs above
 # the threshold do better.  Recall is deterministic per dataset (seeded
@@ -337,6 +347,22 @@ def shingle_containment_pairs(
     )
 
 
+def _signature_agg(hashed: DataFrame, id_col: str, k: int) -> DataFrame:
+    """The one place the MinHash scheme lives (ADVICE r11): k-permutation
+    signature aggregation over ``(id, __sh)`` rows, where ``__sh`` is the
+    64-bit ``xxhash64(shingle)`` of each distinct shingle.  Permutation i
+    is ``xxhash64(i, __sh)`` — the one-hash construction
+    (MINHASH_SCHEME=2).  Both ``minhash_signatures`` (which feeds
+    ``_banded``/``incremental_lsh_probe``/``minhash_band_stats``) and
+    ``minhash_lsh_pairs`` (which aggregates from its persisted shingle
+    arrays) call this, so a future scheme change cannot desynchronize
+    banding between the index builders and the probe path."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}") for i in range(k)
+    ]
+    return hashed.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = MINHASH_K
 ) -> DataFrame:
@@ -359,10 +385,7 @@ def minhash_signatures(
     re-proven by the oracle parity suite (q46/q95/q195/q325 MATCH)."""
     sh = explode_shingles(df, id_col, text_col, n)
     hashed = sh.select(F.col(id_col), F.xxhash64(F.col("shingle")).alias("__sh"))
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}") for i in range(k)
-    ]
-    return hashed.groupBy(id_col).agg(*mins)
+    return _signature_agg(hashed, id_col, k)
 
 
 def minhash_lsh_pairs(
@@ -490,10 +513,7 @@ def minhash_lsh_pairs(
     hashed = arrs.select(F.col(id_col), F.explode("__arr").alias("shingle")).select(
         F.col(id_col), F.xxhash64(F.col("shingle")).alias("__sh")
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}") for i in range(k)
-    ]
-    sig = hashed.groupBy(id_col).agg(*mins)
+    sig = _signature_agg(hashed, id_col, k)
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -537,19 +557,43 @@ def minhash_lsh_pairs(
             .otherwise(F.lit(-1))
             .alias("__sub"),
         )
-        join_keys = ["__band_idx", "__band_hash", "__sub"]
+        bucket_keys = ["__band_idx", "__band_hash", "__sub"]
     else:
+        # single consumer since the bucket-local rewrite below — no persist
         banded = sig.select(
             F.col(id_col),
             F.posexplode(band_hashes).alias("__band_idx", "__band_hash"),
-        ).transform(spersist)
-        join_keys = ["__band_idx", "__band_hash"]
-    l = banded.withColumnRenamed(id_col, "d1")
-    r = banded.withColumnRenamed(id_col, "d2")
+        )
+        bucket_keys = ["__band_idx", "__band_hash"]
+    # Bucket-local pair generation (round 12, guide §2.4/§1.2): group the
+    # banded rows ONCE on the bucket key and emit each bucket's ordered id
+    # pairs directly from the sorted in-bucket array (posexplode picks d1,
+    # slice+explode yields every LATER element as d2 — each unordered pair
+    # exactly once per colliding bucket, d1 < d2 by the sort).  This
+    # replaces the banded self-join: the join exchanged the (persisted)
+    # banded frame on the same bucket key for BOTH inputs, ran m² rows per
+    # bucket through join machinery, then discarded half on d1 < d2; the
+    # groupBy spends the identical exchange once, drops the ~singleton
+    # buckets (the vast majority) before any pair exists, and generates
+    # only the m·(m−1)/2 surviving combinations inside codegen.  Candidate
+    # SET unchanged — order/multiplicity are absorbed by the distinct()
+    # exactly as before.  A pathological hot bucket is a quadratic pair
+    # bomb under EITHER form; ``max_bucket_rows`` (whose __sub key lands
+    # in ``bucket_keys`` and therefore bounds the collected array too) is
+    # the documented mitigation at adversarial scale.
+    buckets = (
+        banded.groupBy(*bucket_keys)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+    )
     candidates = (
-        l.join(r, join_keys)
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
+        buckets.select("__ids", F.posexplode("__ids").alias("__i", "d1"))
+        .select(
+            "d1",
+            F.explode(
+                F.slice("__ids", F.col("__i") + 2, F.size("__ids"))
+            ).alias("d2"),
+        )
         .distinct()
     )
 

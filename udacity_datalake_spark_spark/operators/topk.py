@@ -65,30 +65,56 @@ def _assign_buckets(
     buckets, assigned map-side by a codegen'd boundary scan.  Bucket ids
     increase along the sort direction; any boundary set yields a CORRECT
     (if unbalanced) bucketing, since equal keys always share a bucket
-    (strict comparisons)."""
+    (strict comparisons).
+
+    The boundaries are computed IN THE PLAN (round 12, VERDICT r11 #4):
+    a ``percentile_approx`` aggregate collapses ``df`` to one boundary
+    row that broadcast-cross-joins back onto every row.  The previous
+    form ran ``df.approxQuantile`` — an EAGER driver action evaluating
+    the full input lineage once per call before the consumer plan even
+    existed — so every ranking/prefix-sum operator paid one extra full
+    evaluation of its input plus a driver round-trip.  In-plan, the
+    boundary aggregate is one more subtree over the same input, which
+    AQE's ReuseExchange feeds from the SAME exchange as the ranked/
+    counts subtrees (runtime-verified: plans/r12/*_runtime.txt), and
+    the whole operator family became fully lazy.  Boundary VALUES may
+    differ from the old sketch's (different approx algorithm) — by the
+    correctness argument above that never changes any output, only
+    bucket balance.  The bucket expression sums strict comparisons over
+    the boundary array, which is order-insensitive, so no sort/reverse
+    of the array is needed; NULL boundaries cannot occur
+    (percentile_approx ignores NULL inputs) and an all-NULL/empty input
+    yields a NULL array, coalesced to empty → every row lands in the
+    NULL bucket or bucket 0 exactly as the old empty-``bounds`` branch
+    did."""
     key = F.col(bucket_col).cast("double")
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.approxQuantile(bucket_col, probs, 0.001)), reverse=descending)
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bounds = df.agg(
+        F.coalesce(
+            F.array_distinct(F.percentile_approx(key, probs, F.lit(1000))),
+            F.array().cast("array<double>"),
+        ).alias("__bounds")
+    )
     # NULL keys must land in their own bucket at the position Spark's
     # window defaults put them — NULLS FIRST ascending (bucket −1),
-    # NULLS LAST descending (bucket len(bounds)+1).  A NULL compared to a
+    # NULLS LAST descending (bucket n_bounds+1).  A NULL compared to a
     # boundary is NULL, which when() counts as 0 → bucket 0 → silently
     # ranked among the best rows (a real bug caught in round-2 review).
-    null_bucket = F.lit(len(bounds) + 1 if descending else -1)
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        if descending:
-            nonnull = F.aggregate(
-                barr, F.lit(0), lambda acc, b: acc + F.when(b > key, 1).otherwise(0)
-            )
-        else:
-            nonnull = F.aggregate(
-                barr, F.lit(0), lambda acc, b: acc + F.when(b < key, 1).otherwise(0)
-            )
+    null_bucket = F.size("__bounds") + 1 if descending else F.lit(-1)
+    if descending:
+        nonnull = F.aggregate(
+            F.col("__bounds"), F.lit(0), lambda acc, b: acc + F.when(b > key, 1).otherwise(0)
+        )
     else:
-        nonnull = F.lit(0)
+        nonnull = F.aggregate(
+            F.col("__bounds"), F.lit(0), lambda acc, b: acc + F.when(b < key, 1).otherwise(0)
+        )
     bucket = F.when(key.isNull(), null_bucket).otherwise(nonnull)
-    return df.withColumn("__bucket", bucket)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__bucket", bucket)
+        .drop("__bounds")
+    )
 
 
 def global_running_sum(
@@ -185,9 +211,15 @@ def _bucketed_ranking(
     out_col: str,
     descending: bool,
     n_buckets: int,
-) -> tuple[DataFrame, int]:
-    """Shared core of global_row_number/global_ntile: the ranked frame
-    plus a 1-row frame carrying the EXACT total row count.
+    with_total: bool = False,
+) -> DataFrame:
+    """Shared core of global_row_number/global_ntile: the ranked frame,
+    carrying the EXACT total row count as a ``__total`` column when
+    ``with_total`` is set (the total rides the offsets frame — one more
+    window aggregate over the same ≤(n_buckets+2)-row counts frame, so
+    ntile consumers need no separate total subtree or cross join; round
+    12, after the in-plan boundary sketch made every extra reference to
+    ``df``'s lineage multiply the static plan).
 
     Offsets and the total are computed IN THE PLAN (round 11): the
     per-bucket counts collapse to a ≤(n_buckets+2)-row frame, each
@@ -199,25 +231,31 @@ def _bucketed_ranking(
     counts pass + ranked output) and an extra driver round-trip per
     call; now the counts pass and the ranked output share one
     evaluation (and one exchange — both are keyed on ``__bucket``, so
-    ReuseExchange ships the bucketed frame once; guide §2.4), and the
-    only remaining eager action is the quantile probe itself."""
+    ReuseExchange ships the bucketed frame once; guide §2.4).  Since
+    round 12 the quantile probe is in-plan too (``_assign_buckets``), so
+    the whole ranking family is fully lazy — zero eager actions, and
+    the boundary aggregate reuses the input's exchange at runtime."""
     bucketed = _assign_buckets(df, bucket_col, descending, n_buckets)
 
     counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
     woff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offs = counts.select(
-        "__bucket",
-        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__offset"),
+    wtot = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    total = counts.agg(F.sum("__cnt").alias("__total"))
+    off_cols = [
+        F.col("__bucket"),
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__offset"),
+    ]
+    if with_total:
+        off_cols.append(F.sum("__cnt").over(wtot).alias("__total"))
+    offs = counts.select(*off_cols)
 
     w = Window.partitionBy("__bucket").orderBy(*order_by)
-    ranked = (
+    return (
         bucketed.join(F.broadcast(offs), "__bucket")
         .withColumn(out_col, F.row_number().over(w) + F.col("__offset"))
         .drop("__bucket", "__offset")
     )
-    return ranked, total
 
 
 def global_row_number(
@@ -246,13 +284,13 @@ def global_row_number(
     The output is EXACTLY the global row_number for any boundary set:
     boundaries only decide where buckets split, never relative order —
     equal keys share a bucket (strict comparisons) and ties resolve in
-    the local window under the full ``order_by``.  Builds eagerly (one
-    small job: the quantile probe; offsets are plan-side since round 11).
+    the local window under the full ``order_by``.  Fully lazy since
+    round 12 (offsets plan-side since round 11, boundary sketch in-plan
+    since round 12 — see ``_assign_buckets``).
     """
-    ranked, _total = _bucketed_ranking(
+    return _bucketed_ranking(
         df, order_by, bucket_col, out_col, descending, n_buckets
     )
-    return ranked
 
 
 def global_ntile(
@@ -269,16 +307,17 @@ def global_ntile(
     total row count comes from the ranking pass's own bucket counts (no
     second scan), and the tile arithmetic is integer ``div`` throughout
     (no floor-of-double at tile boundaries)."""
-    ranked, total = _bucketed_ranking(
-        df, order_by, bucket_col, "__grn", descending, n_buckets
+    ranked = _bucketed_ranking(
+        df, order_by, bucket_col, "__grn", descending, n_buckets, with_total=True
     )
-    # tile arithmetic with the total as a broadcast 1-row COLUMN (no
-    # driver action — round 11): q = n div tiles, rem = n % tiles, the
-    # first rem tiles take q+1 rows.  Same integer expressions as the
-    # former literal form, term for term; the q = 0 branch (fewer rows
-    # than tiles: row i → tile i) is the first WHEN arm, so the
-    # divisions in the later arms never see a zero divisor.
-    withn = ranked.crossJoin(F.broadcast(total)).select(
+    # tile arithmetic with the total as a COLUMN riding the offsets join
+    # (no driver action since round 11; no separate total subtree since
+    # round 12): q = n div tiles, rem = n % tiles, the first rem tiles
+    # take q+1 rows.  Same integer expressions as the former literal
+    # form, term for term; the q = 0 branch (fewer rows than tiles:
+    # row i → tile i) is the first WHEN arm, so the divisions in the
+    # later arms never see a zero divisor.
+    withn = ranked.select(
         "*",
         F.expr(f"__total div {n_tiles}").alias("__q"),
         F.expr(f"__total % {n_tiles}").alias("__rem"),

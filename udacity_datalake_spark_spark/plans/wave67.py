@@ -110,30 +110,67 @@ def apriori_triples(
     prefilter_universe_gt: int = 1024,
 ) -> DataFrame:
     """One Apriori level (Agrawal & Srikant 1994) over a distinct
-    ``(o, p)`` basket-item frame: frequent 3-itemsets at relative
-    support ≥ 1/``support_denom`` of baskets.  Candidate triples come
-    ONLY from joining frequent pairs sharing their first item, pruned by
-    the third-subset-frequent check; one counting pass confirms support.
-    Callers should pass a persisted ``items`` frame (it is scanned by
-    the threshold action, the pair pass, and the counting pass).
+    ``(o, p)`` basket-item frame (``p`` non-null): frequent 3-itemsets
+    at relative support ≥ 1/``support_denom`` of baskets.  Candidate
+    triples come ONLY from joining frequent pairs sharing their first
+    item, pruned by the third-subset-frequent check; one counting pass
+    confirms support.
+
+    Scale shape (round 12, guide §2.3/§2.4): the per-basket item ARRAY
+    is built once (one groupBy-``o`` exchange, persisted here — callers
+    no longer need to persist ``items``) and BOTH enumeration passes
+    read it map-side: ordered pairs and ordered triples are generated
+    directly from each basket's sorted array (posexplode picks the
+    first element, slice+explode yields strictly-later ones), so the
+    former ``o``-keyed self-joins — two for the pair pass, three-way
+    for the counting pass, each re-shuffling item rows on ``o`` and
+    discarding the non-ascending half of every join product — are gone
+    entirely; the only remaining exchanges are the basket build and the
+    two support groupBys.  Enumeration volume is unchanged
+    (Σ C(|basket|,2) and Σ C(|basket|,3) rows — Apriori's own bound),
+    and the emitted combinations are exactly the joins' ascending
+    tuples, so the support counts are identical.
 
     ``prefilter_universe_gt`` gates the downward-closure basket filter
     (see inline comment) — exposed so tests exercise both regimes."""
+    baskets = (
+        items.groupBy("o")
+        .agg(F.sort_array(F.collect_list("p")).alias("__ps"))
+        .transform(spersist)
+    )
     # one bounded driver action for BOTH scalars the plan needs: basket
     # count (support threshold — exact) and item-universe size
     # (prefilter gate — approximate is fine for an order-of-magnitude
     # branch, and mixing a second EXACT distinct into the same agg would
-    # plan an Expand that doubles the scan)
-    st = items.agg(
-        F.countDistinct("o").alias("nb"),
-        F.approx_count_distinct("p").alias("np"),
-    ).first()
+    # plan an Expand that doubles the scan).  Running it over the
+    # exploded persisted baskets materializes the cache in the same job.
+    st = (
+        baskets.select("o", F.explode("__ps").alias("p"))
+        .agg(
+            F.countDistinct("o").alias("nb"),
+            F.approx_count_distinct("p").alias("np"),
+        )
+        .first()
+    )
     n_baskets, n_items_universe = int(st.nb), int(st.np)
-    a = items.select("o", F.col("p").alias("p1"))
-    b = items.select("o", F.col("p").alias("p2"))
+
+    def _asc_pairs(bs: DataFrame) -> DataFrame:
+        """(p1, p2, __ps, __i) ascending in-basket pairs: p1 at 0-based
+        position __i of the sorted array, p2 strictly later (1-based
+        slice start __i + 2)."""
+        return bs.select(
+            "__ps", F.posexplode("__ps").alias("__i", "p1")
+        ).select(
+            "__ps",
+            "__i",
+            "p1",
+            F.posexplode(
+                F.slice("__ps", F.col("__i") + 2, F.size("__ps"))
+            ).alias("__j", "p2"),
+        )
+
     pairs = (
-        a.join(b, "o")
-        .where(F.col("p1") < F.col("p2"))
+        _asc_pairs(baskets)
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("sup"))
         .where(F.col("sup") * support_denom >= n_baskets)
@@ -156,29 +193,34 @@ def apriori_triples(
     # (result-invariant).  The prefilter is GATED on the item-universe
     # size (a scalar the threshold action already fetched — no extra
     # job): on narrow universes (TPC-H's 25 brands) frequent-pair
-    # members cover ~100% of items, so the semi-join is pure overhead
-    # (benched +45% at sf0.1 here; counting members to gate exactly
-    # costs its own action, +20%), while on wide-vocabulary baskets
-    # (retail SKUs, token sets) most items are NOT in any frequent pair
-    # and the filter prunes the cubic enumeration at the source —
-    # exactly the regime that matters at 100 TB.
+    # members cover ~100% of items, so the filter is pure overhead,
+    # while on wide-vocabulary baskets (retail SKUs, token sets) most
+    # items are NOT in any frequent pair and the filter prunes the cubic
+    # enumeration at the source — exactly the regime that matters at
+    # 100 TB.  With array-shaped baskets the filter is a map-side
+    # array_intersect against the broadcast member array — no explode,
+    # no re-grouping exchange.
     if n_items_universe > prefilter_universe_gt:
         members = (
             pairs.select(F.col("p1").alias("p"))
             .union(pairs.select(F.col("p2").alias("p")))
             .distinct()
+            .agg(F.sort_array(F.collect_list("p")).alias("__members"))
         )
-        enum_items = items.join(F.broadcast(members), "p", "left_semi")
+        enum_baskets = (
+            baskets.crossJoin(F.broadcast(members))
+            .select(F.array_intersect("__ps", "__members").alias("__ps"))
+        )
     else:
-        enum_items = items
-    i1 = enum_items.select("o", F.col("p").alias("p1"))
-    i2 = enum_items.select("o", F.col("p").alias("p2"))
-    i3 = enum_items.select("o", F.col("p").alias("p3"))
-    tri = (
-        i1.join(i2, "o")
-        .where(F.col("p1") < F.col("p2"))
-        .join(i3, "o")
-        .where(F.col("p2") < F.col("p3"))
+        enum_baskets = baskets
+    # p2 sits at 1-based position __i + __j + 2 of the sorted array, so
+    # the third element ranges over positions __i + __j + 3 onward
+    tri = _asc_pairs(enum_baskets).select(
+        "p1",
+        "p2",
+        F.explode(
+            F.slice("__ps", F.col("__i") + F.col("__j") + 3, F.size("__ps"))
+        ).alias("p3"),
     )
     support = (
         tri.join(F.broadcast(cand), ["p1", "p2", "p3"], "left_semi")
@@ -254,17 +296,22 @@ def q373_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe the gate measures the filter as pure overhead and skips
     it, keeping the oracle's fitems CTE result-invariant).
 
-    Scale shape: the pair pass is the same prefix-bounded self-join the
-    basket family uses; candidate generation runs on the (small)
-    frequent-pair frame; the confirmation pass is three hash joins back
-    to the distinct item stream, grouped with map-side combine."""
+    Scale shape (round 12): baskets materialize once as sorted item
+    arrays (one groupBy exchange, persisted inside ``apriori_triples``);
+    the pair pass and the confirmation pass both enumerate ascending
+    combinations map-side from those arrays — no ``o``-keyed self-joins
+    anywhere — and candidate generation runs on the (small)
+    frequent-pair frame; both support counts group with map-side
+    combine."""
     li = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     pt = read_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    # no persist on items (round 12): apriori_triples consumes it exactly
+    # once now — the basket-array build is the operator's own persisted
+    # frame and both enumeration passes read THAT
     items = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("p"))
         .distinct()
-        .transform(spersist)
     )
     return apriori_triples(items, SUPPORT_DENOM)
 
