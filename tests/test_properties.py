@@ -387,3 +387,40 @@ def test_degree_oriented_triangles_hub_graph(spark):
         F2.sum(F2.col("od") * (F2.col("od") - 1) / 2).alias("wt")
     ).first().wt
     assert wedge_total <= n, f"degree orientation should keep wedges linear, got {wedge_total}"
+
+
+def test_dense_gate_fetch_guards(spark):
+    """The dense-gate fetch (ADVICE r11): non-integral id schemas must
+    skip the driver fetch entirely, and NULL ids (which arrive as a
+    pandas object/float column that int64 conversion rejects) must fall
+    back to the distributed path instead of raising — triangles() stays
+    correct either way."""
+    from udacity_datalake_spark_spark.plans.wave15 import (
+        dense_gate_fetch,
+        triangles,
+    )
+
+    # non-integral ids: no fetch, distributed path
+    dbl = spark.createDataFrame([(1.0, 2.0)], "u double, w double")
+    assert dense_gate_fetch(dbl, ["u", "w"], 10) is None
+
+    # NULL id: conversion fails, falls back (and the wedge path treats
+    # the null row per join semantics rather than crashing the gate)
+    nulled = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (None, 4)], "u int, w int"
+    )
+    assert dense_gate_fetch(nulled, ["u", "w"], 10) is None
+    assert triangles(nulled).first().n_triangles == 1
+
+    # clean small graph: fetch returns the arrays and the dense count
+    # equals the forced-distributed count
+    clean = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "u int, w int"
+    )
+    got = dense_gate_fetch(clean, ["u", "w"], 10)
+    assert got is not None and len(got[0]) == 4
+    assert (
+        triangles(clean).first().n_triangles
+        == triangles(clean, dense_gate_edges=0).first().n_triangles
+        == 1
+    )

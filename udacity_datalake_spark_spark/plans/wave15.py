@@ -301,6 +301,48 @@ TRI_DENSE_EDGES = 200_000
 TRI_DENSE_NODES = 4_096
 
 
+def dense_gate_fetch(edges: DataFrame, cols: list[str], gate_edges: int):
+    """One bounded Arrow fetch deciding a dense/small-graph gate: the
+    ``(u, w)`` int64 numpy pair when the edge list fits under
+    ``gate_edges`` AND converts cleanly, else ``None`` (distributed
+    path).  Shared by ``triangles`` and ``link_prediction_topk``.
+
+    ``limit(gate+1)`` IS the count check (the one-action pattern of
+    connected_components' union-find gate), so above the gate the fetch
+    still moves ≤ gate+1 rows (~3 MB Arrow) and is discarded — the
+    documented price of deciding with a single action.  Guards (ADVICE
+    r11): non-integral id columns skip the fetch entirely (fractional
+    ids cannot index an adjacency matrix), and a conversion failure
+    (NULL ids arrive as a pandas object/float column that int64
+    conversion rejects) falls through to the distributed path instead
+    of raising.  Input contract: a DISTINCT u < w edge list —
+    duplicate edges would be collapsed by a binary adjacency matrix
+    but double-counted by the wedge joins, so callers must dedup
+    upstream (every in-repo edge builder does)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if not all(isinstance(edges.schema[c].dataType, integral) for c in cols):
+        return None
+    pdf = edges.limit(gate_edges + 1).select(*cols).toPandas()
+    if len(pdf) > gate_edges:
+        return None
+    # NULL ids arrive as a float/object column; numpy's float→int64
+    # conversion of NaN does NOT reliably raise — it can silently wrap
+    # to INT64_MIN (observed on this platform) and corrupt the matrix
+    # indices, so nulls are rejected explicitly before conversion.
+    if any(pdf[c].isna().any() for c in cols):
+        return None
+    try:
+        return (
+            pdf[cols[0]].to_numpy(dtype=np.int64, copy=False),
+            pdf[cols[1]].to_numpy(dtype=np.int64, copy=False),
+        )
+    except (ValueError, TypeError):
+        return None
+
+
 def triangles(
     edges: DataFrame,
     orientation: str = "auto",
@@ -344,16 +386,15 @@ def triangles(
     wedge-join paths are unchanged above the gate and pinned equal to
     the dense path (and to brute force) on arbitrary small graphs by
     tests/test_properties.py::test_degree_oriented_triangles_property."""
-    pdf = edges.limit(dense_gate_edges + 1).select("u", "w").toPandas()
-    if len(pdf) <= dense_gate_edges:
+    fetched = dense_gate_fetch(edges, ["u", "w"], dense_gate_edges)
+    if fetched is not None:
         import numpy as np
         from pyspark.sql import types as T
 
         out_schema = T.StructType(
             [T.StructField("n_triangles", T.LongType(), False)]
         )
-        u = pdf["u"].to_numpy(dtype=np.int64, copy=False)
-        w = pdf["w"].to_numpy(dtype=np.int64, copy=False)
+        u, w = fetched
         ids = np.unique(np.concatenate([u, w]))
         if len(ids) <= dense_gate_nodes:
             if len(ids) == 0:

@@ -60,10 +60,20 @@ def copurchase_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     COPURCHASE_RANKED_SQL.  Scale shape per q229's docstring: basket-
     bounded pair join, ranked_topk-bounded anchors, per-anchor ranking
     windows."""
+    # hash-repartition on okey FIRST (round 12, guide §2.4 — the same
+    # shared-exchange keying cosupply_edges adopted in round 4): the
+    # (okey, pk) dedup only needs same-okey colocation
+    # (HashPartitioning(okey) satisfies ClusteredDistribution(okey, pk)),
+    # the anchor semi-join is broadcast (partitioning preserved), and the
+    # co-count join is keyed on okey — so dedup and the basket pair join
+    # share ONE fact-sized exchange instead of dedup-by-(okey,pk) plus
+    # TWO okey re-shuffles at the join.  Paired A/B min-of-6 at sf0.1:
+    # 1.289 s → 1.056 s (1.22×), exceptAll = 0 both ways.
     b = (
         read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .repartition("okey")
+        .dropDuplicates(["okey", "pk"])
     )
     pop = b.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
     top20 = ranked_topk(pop, [F.col("c").desc(), F.col("pk")], 20).drop("rn")

@@ -61,19 +61,30 @@ def q246_monetary_unit_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"],
     )
     lid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
-    # the hash multiply runs in DECIMAL(38,0): lid·_MULT overflows int64
-    # once l_orderkey passes ~3.5e9/8 (SF ≳ 70) — Spark would wrap
-    # silently while the oracle errors, so widen BEFORE multiplying
+    # (lid·_MULT) mod 2²⁰ in PURE int64 (round 12, guide §1.2 per-task
+    # work; VERDICT r11 #8): mod is multiplicative and lid ≥ 0, so
+    # (lid % 2²⁰)·_MULT ≡ lid·_MULT (mod 2²⁰) with the product bounded
+    # by 2²⁰·2.66e9 ≈ 2.8e15 < 2⁶³ — bit-identical to the former
+    # DECIMAL(38,0) widening at EVERY SF (the widening only existed
+    # because lid·_MULT itself wraps int64 at SF ≳ 70), without the
+    # per-row decimal multiply+mod on the fact scan.
     rows = li.select(
         "l_returnflag",
         (dec("l_extendedprice") * 100).cast("long").alias("val_c"),
-        ((lid.cast("decimal(38,0)") * _MULT) % _UNIT).cast("long").alias("h"),
+        ((lid % _UNIT) * _MULT % _UNIT).alias("h"),
     )
     tot = rows.agg(F.sum("val_c").alias("total_c"))
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # filter sides (round 12): h·total_c MUST stay DECIMAL(38) — total_c
+    # is an unbounded corpus sum (≈6e18 already at SF 1e5, × 2²⁰ wraps
+    # int64).  The target side is provably int64: TPC-H extendedprice
+    # ≤ 50·max(p_retailprice) < 105 000 at any SF, so val_c ≤ 1.05e7 and
+    # _MUS_TARGET·_UNIT·val_c ≤ 5.3e8 · 1.05e7 ≈ 5.5e15 < 2⁶³ — one long
+    # multiply per row plus a widening cast at the compare, instead of
+    # two per-row decimal multiplies.
     kept = rows.crossJoin(F.broadcast(tot)).where(
         d38(F.col("h")) * F.col("total_c")
-        < d38(F.lit(_MUS_TARGET)) * F.col("val_c") * _UNIT
+        < F.lit(_MUS_TARGET * _UNIT) * F.col("val_c")
     )
     return kept.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_sampled"),

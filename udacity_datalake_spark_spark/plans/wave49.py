@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 
 from udacity_datalake_spark_spark.operators.topk import ranked_topk
 from udacity_datalake_spark_spark.plans.registry import query
-from udacity_datalake_spark_spark.plans.wave15 import COSUPPLY_EDGES_SQL, cosupply_edges
+from udacity_datalake_spark_spark.plans.wave15 import (
+    COSUPPLY_EDGES_SQL,
+    cosupply_edges,
+    dense_gate_fetch,
+)
 from udacity_datalake_spark_spark.sources.readers import read_table
 from udacity_datalake_spark_spark.scratch import spersist
 
@@ -166,8 +170,12 @@ def link_prediction_topk(
     # Arrow-columnar fetch, NOT take(): take() deserializes one py4j Row
     # per edge (~1-2 s at 151 k edges), toPandas moves the two int64
     # columns as Arrow buffers in milliseconds (guide §6 Arrow-for-
-    # driver-transfers; the session enables arrow.pyspark).
-    pdf = edges.limit(dense_gate_edges + 1).toPandas()
+    # driver-transfers; the session enables arrow.pyspark).  Shared
+    # gate helper (ADVICE r11): schema-checked, conversion-guarded —
+    # None means distributed.
+    fetched = dense_gate_fetch(
+        edges, [edges.columns[0], edges.columns[1]], dense_gate_edges
+    )
     # mirror the distributed path's schema exactly, nullability included
     # (x/y inherit the edge columns'; count/row_number are non-null)
     out_schema = T.StructType(
@@ -178,11 +186,10 @@ def link_prediction_topk(
             T.StructField("rn", T.IntegerType(), False),
         ]
     )
-    if len(pdf) <= dense_gate_edges:
+    if fetched is not None:
         import numpy as np
 
-        u = pdf.iloc[:, 0].to_numpy(dtype=np.int64, copy=False)
-        w = pdf.iloc[:, 1].to_numpy(dtype=np.int64, copy=False)
+        u, w = fetched
         ids = np.unique(np.concatenate([u, w]))  # ascending
         if len(ids) == 0:
             return spark.createDataFrame([], out_schema)
