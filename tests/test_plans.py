@@ -421,8 +421,15 @@ _WAVE34PLUS_PLAN_BUDGET = {
     # bucketed subtree per consumer (AQE reuses the exchange at runtime)
     # and each ranking call carries bounded single-partition exchanges
     # and a 1-row-stats BNLJ, both within this table's documented
-    # discipline; measured 3.98 s → 2.54 s at sf0.1
-    "q278_segment_migration": (15, 4, 4),
+    # discipline; measured 3.98 s → 2.54 s at sf0.1.  Round 12: +2
+    # single / +2 bnlj — the boundary sketch moved in-plan
+    # (percentile_approx 1-row aggregate broadcast-cross-joined per
+    # ntile call; q278 calls ntile twice), removing the last eager
+    # driver action; runtime ReusedExchange dedup pinned by
+    # test_ranking_family_runtime_exchange_reuse and
+    # plans/r12/q278_segment_migration_runtime.txt (6 ReusedExchange);
+    # paired A/B 1.13× on top of the r11 win
+    "q278_segment_migration": (15, 6, 8),
     "q279_cohort_ltv_curve": (6, 0, 0),
     "q280_source_style_similarity": (2, 0, 2),
     "q281_reliability_ranking": (1, 0, 0),
